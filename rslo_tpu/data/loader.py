@@ -1,0 +1,137 @@
+"""Batched, prefetching host data loader producing fixed-shape arrays.
+
+Replaces the reference's torch DataLoader + merge_second_batch collation
+(/root/reference/rslo/data/preprocess.py:46-183) with a thread-pool
+pipeline emitting static-shape padded numpy batches ready for device
+transfer: points (D, L, N, 7) + masks, odometry targets (D, P, 7),
+where D is the device-batch (one sample per mesh device).  Voxelization
+happens ON DEVICE inside the jitted step (rslo_tpu/data/prepare.py) —
+the host only pads.
+
+Distributed sampling mirrors the reference's samplers
+(rslo/utils/distributed_utils.py:117-315): an iteration-budget shuffled
+stream with per-epoch reseeding and resumable position.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from ..config.schema import DataCfg
+from .augment import pose_interp_aug, random_flip_y
+
+
+def pad_points(pts: np.ndarray, n_max: int):
+    """(N, F) -> ((n_max, F), (n_max,) mask), truncating by random
+    subsample when over capacity."""
+    n = len(pts)
+    out = np.zeros((n_max, pts.shape[1]), np.float32)
+    mask = np.zeros((n_max,), bool)
+    if n > n_max:
+        sel = np.random.choice(n, n_max, replace=False)
+        out[:] = pts[sel]
+        mask[:] = True
+    else:
+        out[:n] = pts
+        mask[:n] = True
+    return out, mask
+
+
+def collate(samples: list, cfg: DataCfg) -> dict:
+    """list[D] of dataset samples -> fixed-shape device batch."""
+    D = len(samples)
+    L = len(samples[0]["points"])
+    N = cfg.max_points
+    pts = np.zeros((D, L, N, samples[0]["points"][0].shape[1]), np.float32)
+    msk = np.zeros((D, L, N), bool)
+    P = len(samples[0]["odometry"])
+    odom = np.zeros((D, P, 7), np.float32)
+    meta = []
+    for d, s in enumerate(samples):
+        for t in range(L):
+            pts[d, t], msk[d, t] = pad_points(s["points"][t], N)
+        odom[d] = s["odometry"]
+        meta.append((s.get("seq", -1), tuple(s.get("frames", ()))))
+    return {"points": pts, "point_mask": msk, "odometry": odom,
+            "meta": meta}
+
+
+class TrainSampler:
+    """Shuffled, iteration-budget, resumable sampler (the analog of
+    DistributedGivenIterationSamplerEpoch)."""
+
+    def __init__(self, n_items: int, total_steps: int, batch: int,
+                 seed: int = 0, last_iter: int = -1):
+        self.n = n_items
+        self.total = total_steps * batch
+        self.seed = seed
+        self.pos = (last_iter + 1) * batch
+
+    def __iter__(self):
+        while True:
+            epoch = self.pos // self.n
+            rng = np.random.default_rng(self.seed + epoch)
+            perm = rng.permutation(self.n)
+            start = self.pos % self.n
+            for i in range(start, self.n):
+                yield int(perm[i])
+                self.pos += 1
+
+
+class DataLoader:
+    def __init__(self, dataset, cfg: DataCfg, device_batch: int,
+                 total_steps: int, *, train: bool = True, seed: int = 0,
+                 last_iter: int = -1, num_workers: int | None = None):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.device_batch = device_batch
+        self.train = train
+        if train:
+            self.sampler = iter(TrainSampler(len(dataset), total_steps,
+                                             device_batch, seed, last_iter))
+        else:
+            self.sampler = iter(range(len(dataset)))
+        self.rng = np.random.default_rng(seed + 17)
+        self.workers = num_workers or cfg.num_workers
+        self._q: queue.Queue = queue.Queue(maxsize=4)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _fetch_one(self, idx: int):
+        s = self.dataset[idx]
+        if self.train and self.cfg.random_flip_y:
+            s = random_flip_y(s, self.rng)
+        return s
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                samples = []
+                for _ in range(self.device_batch):
+                    try:
+                        idx = next(self.sampler)
+                    except StopIteration:
+                        if samples:
+                            self._q.put(collate(samples, self.cfg))
+                        self._q.put(None)
+                        return
+                    samples.append(self._fetch_one(idx))
+                self._q.put(collate(samples, self.cfg))
+        except Exception as e:  # surface worker errors to the consumer
+            self._q.put(e)
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()

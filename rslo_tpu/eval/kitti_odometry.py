@@ -1,0 +1,122 @@
+"""KITTI odometry metrics (host-side numpy).
+
+Numerical-parity port of the reference's evaluator semantics
+(/root/reference/rslo/utils/kitti_evaluation.py:24-238), which itself
+follows the official KITTI devkit: segment errors over lengths
+100..800 m at every 10th start frame, t_rel = t_err/len, r_rel =
+r_err/len (rad/m; reported deg/m downstream), plus overall averages,
+RMSE and per-speed bins.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..geometry import tq_to_RT
+
+LENGTHS = (100, 200, 300, 400, 500, 600, 700, 800)
+STEP = 10  # start-frame stride (1 s at 10 Hz)
+
+
+def _traj_distances(poses: List[np.ndarray]) -> List[float]:
+    dist = [0.0]
+    for i in range(len(poses) - 1):
+        d = poses[i][:3, 3] - poses[i + 1][:3, 3]
+        dist.append(dist[-1] + float(np.linalg.norm(d)))
+    return dist
+
+
+def _rotation_error(E: np.ndarray) -> float:
+    d = 0.5 * (np.trace(E[:3, :3]) - 1.0)
+    return float(np.arccos(np.clip(d, -1.0, 1.0)))
+
+
+def _translation_error(E: np.ndarray) -> float:
+    return float(np.linalg.norm(E[:3, 3]))
+
+
+def _last_frame(dist: List[float], first: int, length: float) -> int:
+    for i in range(first, len(dist)):
+        if dist[i] > dist[first] + length:
+            return i
+    return -1
+
+
+def sequence_errors(poses_result: np.ndarray,
+                    poses_gt: np.ndarray) -> List[list]:
+    """Both inputs (N, 7) tq absolute poses.  Returns rows
+    [first_frame, r_err/len, t_err/len, len, speed]."""
+    gt = [tq_to_RT(p, expand=True) for p in poses_gt]
+    pr = [tq_to_RT(p, expand=True) for p in poses_result]
+    dist = _traj_distances(gt)
+    err = []
+    for first in range(0, len(gt), STEP):
+        for length in LENGTHS:
+            last = _last_frame(dist, first, length)
+            if last == -1 or last >= len(pr) or first >= len(pr):
+                continue
+            dgt = np.linalg.inv(gt[first]) @ gt[last]
+            dpr = np.linalg.inv(pr[first]) @ pr[last]
+            E = np.linalg.inv(dpr) @ dgt
+            n_frames = last - first + 1.0
+            speed = length / (0.1 * n_frames)
+            err.append([first, _rotation_error(E) / length,
+                        _translation_error(E) / length, length, speed])
+    return err
+
+
+def segment_errors(seq_errs: List[list]) -> Dict[int, list]:
+    segs = {l: [] for l in LENGTHS}
+    for e in seq_errs:
+        segs[e[3]].append([e[2], e[1]])
+    return {l: [float(np.mean(np.asarray(v)[:, 0])),
+                float(np.mean(np.asarray(v)[:, 1]))]
+            for l, v in segs.items() if v}
+
+
+def average_errors(avg_segs: Dict[int, list]):
+    """Mean over segment lengths -> (t_rel, r_rel[rad/m])."""
+    if not avg_segs:
+        return 0.0, 0.0
+    t = float(np.mean([v[0] for v in avg_segs.values()]))
+    r = float(np.mean([v[1] for v in avg_segs.values()]))
+    return t, r
+
+
+def rmse_errors(avg_segs: Dict[int, list]):
+    if not avg_segs:
+        return 0.0, 0.0
+    t = float(np.sqrt(np.mean([v[0] ** 2 for v in avg_segs.values()])))
+    r = float(np.sqrt(np.mean([v[1] ** 2 for v in avg_segs.values()])))
+    return t, r
+
+
+def speed_errors(seq_errs: List[list]) -> Dict[int, list]:
+    out = {}
+    for s in range(2, 25, 2):
+        rows = [[e[2], e[1]] for e in seq_errs if abs(e[4] - s) < 2.0]
+        if rows:
+            a = np.asarray(rows)
+            out[s] = [float(a[:, 0].mean()), float(a[:, 1].mean())]
+    return out
+
+
+def evaluate_sequence(pred_abs_tq: np.ndarray, gt_abs_tq: np.ndarray,
+                      deg: bool = True) -> dict:
+    """Full per-sequence metric bundle.  t_rel in %, r_rel in deg/100m
+    when ``deg`` (the usual KITTI table convention)."""
+    errs = sequence_errors(pred_abs_tq, gt_abs_tq)
+    segs = segment_errors(errs)
+    t_rel, r_rel = average_errors(segs)
+    t_rmse, r_rmse = rmse_errors(segs)
+    out = {
+        "t_rel_pct": t_rel * 100.0,
+        "r_rel_deg_per_100m": r_rel * 180.0 / np.pi * 100.0,
+        "t_rmse_pct": t_rmse * 100.0,
+        "r_rmse_deg_per_100m": r_rmse * 180.0 / np.pi * 100.0,
+        "segments": segs,
+        "speed_bins": speed_errors(errs),
+        "n_segments": len(errs),
+    }
+    return out

@@ -1,0 +1,84 @@
+"""Evaluation driver: run two-frame inference over an ordered split,
+chain odometries into trajectories, compute KITTI metrics.
+
+The analog of /root/reference/evaluate.py:225-434 +
+KittiDatasetHDF5.evaluation_seqs (kitti_dataset_hdf5.py:331-509), with
+device batching over the mesh instead of NCCL all_gather.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import PipelineCfg
+from ..data.loader import collate
+from ..geometry import np_calc_vo, odom_to_abs_pose
+from .kitti_odometry import evaluate_sequence
+
+
+def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
+             eval_step, logger=None, max_windows: int | None = None
+             ) -> Dict[str, dict]:
+    """eval_step: jitted (params, batch_stats, example_batch) ->
+    (D, P, 7).  Iterates the ordered eval split; returns per-sequence
+    metric dicts + aggregate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    D = mesh.devices.size
+    n = len(dataset) if max_windows is None else min(len(dataset),
+                                                    max_windows)
+    preds = np.zeros((n, 7), np.float32)
+    gts = np.zeros((n, 7), np.float32)
+    seq_ids = np.zeros((n,), np.int64)
+
+    t0 = time.time()
+    i = 0
+    sharding = NamedSharding(mesh, P("data"))
+    while i < n:
+        idxs = [min(i + d, n - 1) for d in range(D)]
+        samples = [dataset[k] for k in idxs]
+        batch = collate(samples, cfg.data)
+        meta = batch.pop("meta")
+        batch = jax.device_put(
+            jax.tree.map(jnp.asarray, batch), sharding)
+        out = np.asarray(eval_step(variables["params"],
+                                   variables.get("batch_stats", {}), batch))
+        for d in range(D):
+            k = i + d
+            if k >= n:
+                break
+            preds[k] = out[d, 0]
+            gts[k] = samples[d]["odometry"][0]
+            seq_ids[k] = samples[d]["seq"]
+        i += D
+    elapsed = time.time() - t0
+    fps = n / elapsed
+
+    results: Dict[str, dict] = {"_meta": {"windows": n,
+                                          "elapsed_s": elapsed,
+                                          "frames_per_s": fps}}
+    for s in np.unique(seq_ids):
+        m = seq_ids == s
+        pred_odoms = np.concatenate(
+            [np.array([[0, 0, 0, 1, 0, 0, 0]], np.float32), preds[m]])
+        gt_odoms = np.concatenate(
+            [np.array([[0, 0, 0, 1, 0, 0, 0]], np.float32), gts[m]])
+        pred_abs = odom_to_abs_pose(pred_odoms)
+        gt_abs = odom_to_abs_pose(gt_odoms)
+        results[f"seq_{int(s):02d}"] = evaluate_sequence(pred_abs, gt_abs)
+    seq_keys = [k for k in results if k.startswith("seq_")]
+    if seq_keys:
+        results["avg"] = {
+            "t_rel_pct": float(np.mean(
+                [results[k]["t_rel_pct"] for k in seq_keys])),
+            "r_rel_deg_per_100m": float(np.mean(
+                [results[k]["r_rel_deg_per_100m"] for k in seq_keys])),
+        }
+    if logger is not None:
+        logger.log_text(f"eval: {n} windows in {elapsed:.1f}s "
+                        f"({fps:.2f}/s)")
+    return results

@@ -1,0 +1,164 @@
+"""Total training objective: pose + pyramid + self-supervised consistency.
+
+Mirrors the reference's ``UnVoxelOdomNetICP3.loss``/``create_loss``
+(/root/reference/rslo/models/voxel_odom_net.py:324-798) with the same
+load-bearing schedules: before ``warmup_steps`` the consistency term sees
+identity rotation / zero translation and runs ``warmup_icp_iter`` inner
+ICP iterations; pseudo ego-motion targets are derived from the ICP-refined
+predictions; pyramid tq-map targets are regenerated from the pseudo
+targets each step.
+
+The warmup phase is a *host-side static* decision (two jitted variants),
+not traced control flow — the training loop knows the global step.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.schema import LossCfg
+from ..geometry import generate_tq_map, hemisphere, matrix_to_quat, \
+    quat_to_matrix
+from .adaptive import adaptive_weighted_l2
+from .consistency import consistency_loss_pairs
+
+
+class LossOut(NamedTuple):
+    total: jax.Array
+    aux: Dict[str, jax.Array]
+
+
+def _pair_indices(L: int):
+    return [(i, j) for i in range(L) for j in range(i + 1, L)]
+
+
+def compute_objective(preds: Dict[str, Any], example: Dict[str, Any],
+                      alphas: Dict[str, jax.Array], cfg: LossCfg,
+                      pc_range, *, warmup: bool,
+                      self_supervised: bool = True) -> LossOut:
+    """Args:
+      preds: OdomNet output dict.
+      example: batch example (odometry (P, 7) GT pair motions, used in
+        supervised mode).
+      alphas: {"rot": scalar, "trans": scalar} learned log-variances.
+      warmup: static — True while global_step <= cfg.warmup_steps.
+    """
+    odom = preds["odometry"].astype(jnp.float32)       # (P, 7)
+    T_pred, q_pred = odom[:, :3], odom[:, 3:]
+    Ppairs = odom.shape[0]
+    R_pred = quat_to_matrix(q_pred)
+
+    aux: Dict[str, jax.Array] = {}
+    res_R = res_t = None
+    C_loss = jnp.float32(0.0)
+
+    if self_supervised:
+        L = preds["seq_length"]
+        feats = preds["voxel_features"]   # list[L] (V, F)
+        covs = preds["voxel_covs"]        # list[L] (V, 7)
+        masks = preds["voxel_masks"]      # list[L] (V,)
+
+        def pts_of(t):
+            f = feats[t]
+            if f.shape[1] > 6:
+                return jnp.concatenate([f[:, 0:3], f[:, 4:7]], axis=-1)
+            return f[:, 0:6]
+
+        pairs = _pair_indices(L)
+        n_rep = Ppairs // len(pairs) if len(pairs) else 1
+        src_list, tgt_list = [], []
+        for (i, j) in pairs:
+            src_list.append((pts_of(i), masks[i], covs[i]))
+            tgt_list.append((pts_of(j), masks[j], covs[j]))
+
+        src_pts = jnp.stack([s[0] for s in src_list])       # (P, V, 6)
+        src_mask = jnp.stack([s[1] for s in src_list])
+        src_cov = jnp.stack([s[2] for s in src_list])
+        tgt_pts = jnp.stack([t[0] for t in tgt_list])
+        tgt_mask = jnp.stack([t[1] for t in tgt_list])
+        tgt_cov = jnp.stack([t[2] for t in tgt_list])
+
+        if warmup:
+            R_use = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                     R_pred.shape)
+            T_use = jnp.zeros_like(T_pred)
+            icp_iter = cfg.warmup_icp_iter
+        else:
+            R_use, T_use = R_pred, T_pred
+            icp_iter = cfg.icp_iter
+
+        # Warp target clouds by the predicted motion (xyz only; the
+        # normal channels feed the cosine weighting from the SRC side).
+        tgt_xyz = jnp.einsum('pij,pnj->pni', R_use, tgt_pts[..., :3],
+                             precision=jax.lax.Precision.HIGHEST) \
+            + T_use[:, None, :]
+
+        c_raw, res_R, res_t = consistency_loss_pairs(
+            src_pts[..., :3], src_mask,
+            jax.lax.stop_gradient(src_pts[..., 3:6]), src_cov,
+            tgt_xyz, tgt_mask, tgt_cov, R_use, T_use,
+            penalize_ratio=cfg.penalize_ratio, reg_weight=cfg.reg_weight,
+            icp_iter=icp_iter)
+        C_loss = cfg.consistency_weight * c_raw
+        aux["consistency_loss"] = c_raw
+
+        # Pseudo targets from the ICP correction (voxel_odom_net.py:727-735)
+        R_base = jax.lax.stop_gradient(R_use)
+        T_base = jax.lax.stop_gradient(T_use)
+        R_tgt = res_R @ R_base
+        q_tgt = hemisphere(matrix_to_quat(R_tgt))
+        t_tgt = jnp.einsum('pij,pj->pi', res_R, T_base,
+                           precision=jax.lax.Precision.HIGHEST) + res_t
+        rotation_targets = jax.lax.stop_gradient(q_tgt)
+        translation_targets = jax.lax.stop_gradient(t_tgt)
+    else:
+        gt = example["odometry"].astype(jnp.float32).reshape(-1, 7)
+        translation_targets = gt[:, :3]
+        rotation_targets = hemisphere(gt[:, 3:])
+
+    T_loss = adaptive_weighted_l2(T_pred, translation_targets,
+                                  alphas["trans"],
+                                  focal_gamma=cfg.focal_gamma,
+                                  weight=cfg.translation_weight)
+    R_loss = adaptive_weighted_l2(q_pred, rotation_targets, alphas["rot"],
+                                  focal_gamma=cfg.focal_gamma,
+                                  weight=cfg.rotation_weight)
+
+    # ---- pyramid (deep supervision) losses ------------------------------
+    pyramid = preds.get("pyramid", [])
+    pyramid_loss = jnp.float32(0.0)
+    if pyramid:
+        tq_targets = jnp.concatenate(
+            [translation_targets, rotation_targets], axis=-1)
+        H, W = pyramid[-1][0].shape[1:3]
+        tgt_map = generate_tq_map(tq_targets, (H, W), pc_range)  # (P,H,W,7)
+        tgt_map = jax.lax.stop_gradient(tgt_map)
+        n = len(pyramid)
+        for i, (pmap, pmask) in enumerate(pyramid):
+            h, w = pmap.shape[1:3]
+            tm = tgt_map
+            if (h, w) != (H, W):
+                tm = jax.image.resize(tgt_map, (Ppairs, h, w, 7),
+                                      method="nearest")
+            t_l = adaptive_weighted_l2(
+                pmap[..., :3], tm[..., :3], alphas["trans"],
+                mask=pmask[..., 0:1], focal_gamma=cfg.focal_gamma,
+                weight=cfg.pyramid_translation_weight)
+            r_l = adaptive_weighted_l2(
+                pmap[..., 3:], tm[..., 3:], alphas["rot"],
+                mask=pmask[..., -1:], focal_gamma=cfg.focal_gamma,
+                weight=cfg.pyramid_rotation_weight)
+            w_i = cfg.pyloss_exp_w_base ** (n - i)
+            pyramid_loss = pyramid_loss + w_i * (t_l + r_l)
+
+    total = T_loss + R_loss + pyramid_loss + C_loss
+    aux.update({
+        "translation_loss": T_loss,
+        "rotation_loss": R_loss,
+        "pyramid_loss": pyramid_loss,
+        "C_loss": C_loss,
+        "loss": total,
+    })
+    return LossOut(total, aux)

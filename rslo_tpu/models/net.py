@@ -1,0 +1,71 @@
+"""Top-level odometry network: VFE -> sparse middle (+cov) -> BEV pair
+encoder/decoder -> ego-motion vote.
+
+TPU-native counterpart of the reference's UnVoxelOdomNetICP3
+(/root/reference/rslo/models/voxel_odom_net.py:47-580): processes a
+temporal window of ``seq_length`` voxelized frames with shared weights,
+forms all C(L, 2) cyclic frame pairs, and returns the prediction pytree
+consumed by the loss and eval layers.  One sample per device (the
+reference asserts batch_size==1, middle.py:221); batching happens across
+the device mesh.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.schema import PipelineCfg, grid_size
+from .bev_net import BEVOdomNet, cycle_pairs
+from .middle import FrameGeometry, SparseMiddleCov, build_geometry
+from .vfe import simple_voxel_xyzi_normal
+
+
+class OdomNet(nn.Module):
+    cfg: PipelineCfg
+
+    def setup(self):
+        self.middle = SparseMiddleCov(self.cfg.middle)
+        self.bev_net = BEVOdomNet(self.cfg.odom,
+                                  self.cfg.voxelizer.point_cloud_range)
+
+    @property
+    def sparse_shape(self):
+        nx, ny, nz = grid_size(self.cfg.voxelizer)
+        return (nz + 1, ny, nx)
+
+    def __call__(self, example: Dict[str, Any], train: bool = False):
+        """example (single sample, no batch dim):
+          voxels:      (L, V, P, F) float
+          num_points:  (L, V) int32
+          coords:      (L, V, 3) int32 zyx (-1 padding)
+          voxel_mask:  (L, V) bool
+        Returns the prediction dict (all pair-major arrays)."""
+        voxels = example["voxels"]
+        num_points = example["num_points"]
+        coords = example["coords"]
+        vmask = example["voxel_mask"]
+        L = voxels.shape[0]
+
+        bevs, covs, feats = [], [], []
+        for t in range(L):
+            f = simple_voxel_xyzi_normal(
+                voxels[t], num_points[t],
+                self.cfg.vfe.num_input_features)
+            geo = build_geometry(coords[t], vmask[t], self.sparse_shape,
+                                 self.cfg.middle.level_capacities)
+            bev, cov = self.middle(f, geo, train)
+            bevs.append(bev[None])   # add pair-batch axis (1, H, W, C)
+            covs.append(cov)
+            feats.append(f)
+
+        x1, x2 = cycle_pairs(bevs)
+        preds = self.bev_net(jnp.concatenate([x1, x2], axis=-1), train)
+
+        preds["voxel_features"] = feats        # list[L] of (V, F)
+        preds["voxel_covs"] = covs             # list[L] of (V, 7)
+        preds["voxel_masks"] = [vmask[t] for t in range(L)]
+        preds["seq_length"] = L
+        return preds

@@ -1,0 +1,53 @@
+"""Voxel feature encoders ("Geometric Unit Feature Encoding", stage 1).
+
+TPU-native equivalents of the reference VFE registry
+(/root/reference/rslo/models/voxel_encoder.py).  The deployed encoder,
+SimpleVoxel_XYZINormalC (voxel_encoder.py:258-280), is parameter-free:
+per-voxel mean of the (x, y, z, intensity, nx, ny, nz) points with the
+normal part re-normalized.  All variants are pure functions of the
+static-shape voxel stacks.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config.registry import register_vfe
+
+
+def _voxel_mean(voxels: jax.Array, num_points: jax.Array,
+                n_feat: int) -> jax.Array:
+    n = jnp.maximum(num_points, 1).astype(voxels.dtype)[:, None]
+    return jnp.sum(voxels[:, :, :n_feat], axis=1) / n
+
+
+@register_vfe("SimpleVoxelXYZINormal")
+def simple_voxel_xyzi_normal(voxels: jax.Array, num_points: jax.Array,
+                             num_input_features: int = 7) -> jax.Array:
+    """(V, P, >=7) -> (V, 7): mean over valid points; cols 4:7 (normals)
+    re-normalized to unit length."""
+    m = _voxel_mean(voxels, num_points, num_input_features)
+    normal = m[:, 4:7]
+    normal = normal / jnp.sqrt(
+        jnp.sum(normal * normal, -1, keepdims=True) + 1e-16)
+    return jnp.concatenate([m[:, :4], normal, m[:, 7:num_input_features]],
+                           axis=-1)
+
+
+@register_vfe("SimpleVoxelXYZNormal")
+def simple_voxel_xyz_normal(voxels: jax.Array, num_points: jax.Array,
+                            num_input_features: int = 6) -> jax.Array:
+    """(V, P, >=6) -> (V, 6): mean with cols 3:6 re-normalized (the
+    intensity-free variant, voxel_encoder.py:234-256)."""
+    m = _voxel_mean(voxels, num_points, num_input_features)
+    normal = m[:, 3:6]
+    normal = normal / jnp.sqrt(
+        jnp.sum(normal * normal, -1, keepdims=True) + 1e-16)
+    return jnp.concatenate([m[:, :3], normal], axis=-1)
+
+
+@register_vfe("SimpleVoxel")
+def simple_voxel(voxels: jax.Array, num_points: jax.Array,
+                 num_input_features: int = 4) -> jax.Array:
+    """Plain per-voxel mean (voxel_encoder.py:214-233)."""
+    return _voxel_mean(voxels, num_points, num_input_features)

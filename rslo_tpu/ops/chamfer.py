@@ -1,0 +1,140 @@
+"""One-direction nearest-neighbor search (chamfer association).
+
+TPU-native replacement for the reference's CUDA brute-force kernel
+(/root/reference/thirdparty/chamfer_distance/chamfer_distance.cu): for each
+source point, the squared distance to — and index of — its nearest target
+point.  Two implementations with one API:
+
+  * ``nn_search`` — XLA: lax.scan over target tiles, distances via one
+    (N, 3) x (3, T) matmul per tile, running min/argmin.  Works on CPU
+    and TPU; this is the default and the autodiff path.
+  * ``nn_search_pallas`` — Pallas TPU kernel, tiled over both point sets
+    with the argmin accumulated in VMEM across the target-tile grid axis.
+
+The argmin is piecewise constant, so no gradient flows through the search
+itself (the caller recomputes differentiable quantities from the returned
+indices — same structure as the reference loss).  Returned distances are
+wrapped in stop_gradient.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(1e30)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def nn_search(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
+              tgt_mask: jax.Array, tile: int = 512):
+    """For each src point, nearest tgt point.
+
+    Args:
+      src: (N, 3); src_mask: (N,) bool; tgt: (M, 3); tgt_mask: (M,) bool.
+      tile: target tile length for the scan.
+
+    Returns:
+      dist: (N,) squared distance (stop-gradient; BIG where src invalid
+        or no valid target exists).
+      idx: (N,) int32 index into tgt (0 where invalid).
+    """
+    N = src.shape[0]
+    M = tgt.shape[0]
+    pad = (-M) % tile
+    if pad:
+        tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), tgt.dtype)])
+        tgt_mask = jnp.concatenate([tgt_mask, jnp.zeros((pad,), bool)])
+    Mp = tgt.shape[0]
+
+    src = jax.lax.stop_gradient(src.astype(jnp.float32))
+    tgt = jax.lax.stop_gradient(tgt.astype(jnp.float32))
+    src_sq = jnp.sum(src * src, axis=-1)  # (N,)
+
+    tgt_tiles = tgt.reshape(Mp // tile, tile, 3)
+    mask_tiles = tgt_mask.reshape(Mp // tile, tile)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        t, m, base = inp
+        # (N, T) squared distances via the MXU cross term.
+        cross = jnp.dot(src, t.T, preferred_element_type=jnp.float32)
+        d = src_sq[:, None] - 2.0 * cross + jnp.sum(t * t, axis=-1)[None, :]
+        d = jnp.where(m[None, :], d, BIG)
+        ti = jnp.argmin(d, axis=-1)
+        td = jnp.take_along_axis(d, ti[:, None], axis=-1)[:, 0]
+        upd = td < best_d
+        best_i = jnp.where(upd, base + ti.astype(jnp.int32), best_i)
+        best_d = jnp.where(upd, td, best_d)
+        return (best_d, best_i), None
+
+    init = (jnp.full((N,), BIG, jnp.float32), jnp.zeros((N,), jnp.int32))
+    bases = jnp.arange(Mp // tile, dtype=jnp.int32) * tile
+    (dist, idx), _ = jax.lax.scan(body, init,
+                                  (tgt_tiles, mask_tiles, bases))
+    dist = jnp.where(src_mask, dist, BIG)
+    idx = jnp.where(src_mask, idx, 0)
+    return jnp.maximum(dist, 0.0), idx
+
+
+def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
+                     tgt_mask: jax.Array, *, src_tile: int = 512,
+                     tgt_tile: int = 512):
+    """Pallas TPU version of :func:`nn_search` (same contract).
+
+    Grid is (src tiles, tgt tiles); the output block for a src tile is
+    revisited across the tgt axis, carrying the running min/argmin.
+    Shapes must be multiples of the tile sizes (pad upstream).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, M = src.shape[0], tgt.shape[0]
+    assert N % src_tile == 0 and M % tgt_tile == 0, (N, M)
+    src = jax.lax.stop_gradient(src.astype(jnp.float32))
+    tgt = jax.lax.stop_gradient(tgt.astype(jnp.float32))
+
+    def kernel(s_ref, sm_ref, t_ref, tm_ref, d_ref, i_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            d_ref[:] = jnp.full_like(d_ref, BIG)
+            i_ref[:] = jnp.zeros_like(i_ref)
+
+        s = s_ref[:]                       # (TN, 3)
+        t = t_ref[:]                       # (TT, 3)
+        cross = jnp.dot(s, t.T, preferred_element_type=jnp.float32)
+        d = (jnp.sum(s * s, -1, keepdims=True) - 2.0 * cross
+             + jnp.sum(t * t, -1)[None, :])
+        d = jnp.where(tm_ref[:][None, :] > 0, d, BIG)
+        ti = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        td = jnp.min(d, axis=-1)
+        upd = td < d_ref[:]
+        base = j * tgt_tile
+        i_ref[:] = jnp.where(upd, base + ti, i_ref[:])
+        d_ref[:] = jnp.where(upd, td, d_ref[:])
+
+    grid = (N // src_tile, M // tgt_tile)
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((src_tile, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((src_tile,), lambda i, j: (i,)),
+            pl.BlockSpec((tgt_tile, 3), lambda i, j: (j, 0)),
+            pl.BlockSpec((tgt_tile,), lambda i, j: (j,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((src_tile,), lambda i, j: (i,)),
+            pl.BlockSpec((src_tile,), lambda i, j: (i,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N,), jnp.float32),
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+        ],
+    )(src, src_mask.astype(jnp.int32), tgt, tgt_mask.astype(jnp.int32))
+    dist = jnp.where(src_mask, dist, BIG)
+    idx = jnp.where(src_mask, idx, 0)
+    return jnp.maximum(dist, 0.0), idx

@@ -1,0 +1,258 @@
+"""Sparse 3D convolution engine, TPU-native.
+
+Replaces the reference's external C++/CUDA `spconv_plus` stack
+(SubMConv3d / SparseConv3d / SparseInverseConv3d / SparseConvTensor /
+.dense(), used at /root/reference/rslo/models/middle.py:80-245) with a
+from-scratch XLA formulation built for static shapes and the MXU:
+
+  * A *level* is a fixed-capacity set of active voxels with coordinates
+    sorted by linearized (z, y, x) id (padding at the end with a sentinel
+    id).  Sortedness is the core invariant: neighbor lookup is then a
+    vectorized binary search (`jnp.searchsorted`) instead of a hash table.
+  * A *rulebook* (`ConvIndex`) caches, per (out site, kernel offset), the
+    index of the contributing in site (or an invalid marker).  Rulebooks
+    are built once per frame per resolution change and shared by every
+    layer with the same geometry — the analog of spconv's `indice_key`.
+  * The convolution itself is gather -> im2col -> ONE (V, K*Cin) x
+    (K*Cin, Cout) matmul, which maps straight onto the MXU with a large
+    contraction dimension instead of 27 thin matmuls.
+
+Submanifold (stride 1, out sites == in sites), strided downsample
+(out sites derived from in sites), and inverse/transposed conv (out sites
+== a previously saved finer level) all share the same primitives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SparseLevel(NamedTuple):
+    """A fixed-capacity set of active voxels at one resolution.
+
+    coords: (V, 3) int32 (z, y, x); padding rows are -1.
+    ids:    (V,) int32 linearized id, sorted ascending; padding rows hold
+            the sentinel ``nz*ny*nx``.
+    mask:   (V,) bool validity.
+    shape:  static (nz, ny, nx) of this level's dense grid.
+    """
+    coords: jax.Array
+    ids: jax.Array
+    mask: jax.Array
+    shape: tuple
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def sentinel(self) -> int:
+        nz, ny, nx = self.shape
+        return nz * ny * nx
+
+
+class ConvIndex(NamedTuple):
+    """Rulebook: per out site and kernel tap, where to gather from.
+
+    idx:   (V_out, K) int32 row into the in level's feature array.
+    valid: (V_out, K) bool.
+    """
+    idx: jax.Array
+    valid: jax.Array
+
+
+def linearize(coords: jax.Array, shape) -> jax.Array:
+    nz, ny, nx = shape
+    return (coords[..., 0] * ny + coords[..., 1]) * nx + coords[..., 2]
+
+
+def level_from_coords(coords: jax.Array, mask: jax.Array,
+                      shape) -> SparseLevel:
+    """Build a sorted SparseLevel from (V, 3) zyx coords + validity mask.
+
+    Assumes coords within bounds for valid rows.  Output is sorted by id.
+    """
+    nz, ny, nx = shape
+    sent = nz * ny * nx
+    ids = jnp.where(mask, linearize(coords, shape), sent).astype(jnp.int32)
+    order = jnp.argsort(ids, stable=True)
+    ids = ids[order]
+    coords = jnp.where(mask[order, None], coords[order], -1)
+    return SparseLevel(coords, ids, ids < sent, (nz, ny, nx))
+
+
+def _kernel_offsets(kernel: Sequence[int]) -> np.ndarray:
+    kz, ky, kx = kernel
+    g = np.stack(np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx),
+                             indexing="ij"), axis=-1).reshape(-1, 3)
+    return g  # (K, 3) in (z, y, x)
+
+
+def _lookup(level: SparseLevel, query_ids: jax.Array,
+            query_valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Binary-search query ids in a sorted level. Returns (idx, found)."""
+    q = jnp.where(query_valid, query_ids, level.sentinel)
+    idx = jnp.searchsorted(level.ids, q).astype(jnp.int32)
+    idx = jnp.minimum(idx, level.capacity - 1)
+    found = (level.ids[idx] == q) & query_valid & (q < level.sentinel)
+    return idx, found
+
+
+def build_submanifold_index(level: SparseLevel,
+                            kernel=(3, 3, 3)) -> ConvIndex:
+    """Rulebook for submanifold conv: out sites == in sites, neighbors
+    looked up at coord + offset - k//2."""
+    offs = _kernel_offsets(kernel)
+    half = np.array([k // 2 for k in kernel])
+    shp = np.array(level.shape)
+    idxs, valids = [], []
+    for o in offs:
+        nb = level.coords + jnp.asarray(o - half, jnp.int32)
+        inb = jnp.all((nb >= 0) & (nb < jnp.asarray(shp)), axis=-1)
+        q = linearize(nb, level.shape)
+        idx, found = _lookup(level, q, inb & level.mask)
+        idxs.append(idx)
+        valids.append(found)
+    return ConvIndex(jnp.stack(idxs, -1), jnp.stack(valids, -1))
+
+
+def downsample_level(level: SparseLevel, kernel, stride, padding,
+                     out_capacity: int) -> SparseLevel:
+    """Compute the active out sites of a strided sparse conv.
+
+    An out site o (per dim) is active iff some in site i satisfies
+    ``i = s*o + d - p`` for d in [0, k).  Each in site therefore activates
+    out sites in ``[ceil((i + p - k + 1)/s), floor((i + p)/s)]`` — at most
+    ``ceil(k/s)`` per dim; for the k=3, s=2 convs used here that is 2 per
+    dim (8 candidates in 3D).
+    """
+    kernel = np.asarray(kernel)
+    stride = np.asarray(stride)
+    padding = np.asarray(padding)
+    out_shape = tuple(int((level.shape[d] + 2 * padding[d] - kernel[d])
+                          // stride[d] + 1) for d in range(3))
+    assert all(s > 0 for s in out_shape), (
+        f"downsample of {level.shape} with k={tuple(kernel)} "
+        f"s={tuple(stride)} p={tuple(padding)} collapses to {out_shape}")
+    n_cand = [int(np.ceil(kernel[d] / stride[d])) for d in range(3)]
+
+    cand_ids = []
+    cand_valid = []
+    for az in range(n_cand[0]):
+        for ay in range(n_cand[1]):
+            for ax in range(n_cand[2]):
+                a = np.array([az, ay, ax])
+                # smallest candidate: ceil((i + p - k + 1) / s) + a
+                num = level.coords + jnp.asarray(padding - kernel + 1,
+                                                 jnp.int32)
+                lo = -(-num // jnp.asarray(stride, jnp.int32))  # ceil div
+                o = lo + jnp.asarray(a, jnp.int32)
+                hi_num = level.coords + jnp.asarray(padding, jnp.int32)
+                hi = hi_num // jnp.asarray(stride, jnp.int32)
+                ok = jnp.all((o <= hi) & (o >= 0) &
+                             (o < jnp.asarray(out_shape)), axis=-1)
+                ok = ok & level.mask
+                nz, ny, nx = out_shape
+                oid = (o[:, 0] * ny + o[:, 1]) * nx + o[:, 2]
+                cand_ids.append(jnp.where(ok, oid, nz * ny * nx))
+                cand_valid.append(ok)
+    ids = jnp.concatenate(cand_ids)
+    sent = int(np.prod(out_shape))
+    ids = jnp.sort(ids)
+    # unique: keep first occurrence
+    head = jnp.concatenate([jnp.array([True]), ids[1:] != ids[:-1]])
+    uniq_rank = jnp.cumsum(head.astype(jnp.int32)) - 1
+    slot = jnp.where(head & (ids < sent) & (uniq_rank < out_capacity),
+                     uniq_rank, out_capacity)
+    out_ids = jnp.full((out_capacity + 1,), sent, jnp.int32)
+    out_ids = out_ids.at[slot].set(jnp.where(slot < out_capacity, ids,
+                                             sent))[:out_capacity]
+    nz, ny, nx = out_shape
+    zz = out_ids // (ny * nx)
+    yy = (out_ids // nx) % ny
+    xx = out_ids % nx
+    mask = out_ids < sent
+    coords = jnp.where(mask[:, None], jnp.stack([zz, yy, xx], -1), -1)
+    return SparseLevel(coords.astype(jnp.int32), out_ids.astype(jnp.int32),
+                       mask, out_shape)
+
+
+def build_conv_index(in_level: SparseLevel, out_level: SparseLevel,
+                     kernel, stride, padding) -> ConvIndex:
+    """Rulebook for a strided conv: in site = s*o + d - p per tap d."""
+    offs = _kernel_offsets(kernel)
+    stride = np.asarray(stride)
+    padding = np.asarray(padding)
+    shp = np.asarray(in_level.shape)
+    idxs, valids = [], []
+    for o in offs:
+        src = out_level.coords * jnp.asarray(stride, jnp.int32) + \
+            jnp.asarray(o - padding, jnp.int32)
+        inb = jnp.all((src >= 0) & (src < jnp.asarray(shp)), axis=-1)
+        q = linearize(src, in_level.shape)
+        idx, found = _lookup(in_level, q, inb & out_level.mask)
+        idxs.append(idx)
+        valids.append(found)
+    return ConvIndex(jnp.stack(idxs, -1), jnp.stack(valids, -1))
+
+
+def build_inverse_index(coarse: SparseLevel, fine: SparseLevel,
+                        kernel, stride, padding) -> ConvIndex:
+    """Rulebook for inverse (transposed) conv: out sites are the FINE
+    level; tap d contributes from coarse site c when ``f = s*c + d - p``
+    i.e. ``c = (f + p - d) / s`` is integral and active."""
+    offs = _kernel_offsets(kernel)
+    stride = np.asarray(stride)
+    padding = np.asarray(padding)
+    shp = np.asarray(coarse.shape)
+    idxs, valids = [], []
+    for o in offs:
+        num = fine.coords + jnp.asarray(padding - o, jnp.int32)
+        divisible = jnp.all(num % jnp.asarray(stride, jnp.int32) == 0,
+                            axis=-1)
+        c = num // jnp.asarray(stride, jnp.int32)
+        inb = jnp.all((c >= 0) & (c < jnp.asarray(shp)), axis=-1)
+        q = linearize(c, coarse.shape)
+        idx, found = _lookup(coarse, q, divisible & inb & fine.mask)
+        idxs.append(idx)
+        valids.append(found)
+    return ConvIndex(jnp.stack(idxs, -1), jnp.stack(valids, -1))
+
+
+def sparse_conv_apply(features: jax.Array, rulebook: ConvIndex,
+                      weights: jax.Array, bias: jax.Array | None = None,
+                      out_mask: jax.Array | None = None,
+                      compute_dtype=jnp.float32) -> jax.Array:
+    """Apply a sparse conv given its rulebook.
+
+    features: (V_in, Cin); weights: (K, Cin, Cout); returns (V_out, Cout).
+    Gather -> (V_out, K*Cin) im2col -> single matmul on the MXU.
+    """
+    V_out, K = rulebook.idx.shape
+    Cin = features.shape[1]
+    Cout = weights.shape[-1]
+    g = features[rulebook.idx.reshape(-1)].reshape(V_out, K, Cin)
+    g = jnp.where(rulebook.valid[..., None], g, 0)
+    g = g.reshape(V_out, K * Cin).astype(compute_dtype)
+    w = weights.reshape(K * Cin, Cout).astype(compute_dtype)
+    out = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    if out_mask is not None:
+        out = jnp.where(out_mask[:, None], out, 0.0)
+    return out
+
+
+def to_dense(features: jax.Array, level: SparseLevel) -> jax.Array:
+    """Scatter (V, C) features into a dense (nz, ny, nx, C) grid —
+    the analog of spconv's ``.dense()`` (channels-last here)."""
+    nz, ny, nx = level.shape
+    C = features.shape[-1]
+    flat = jnp.zeros((nz * ny * nx + 1, C), features.dtype)
+    slot = jnp.where(level.mask, level.ids, nz * ny * nx)
+    flat = flat.at[slot].set(jnp.where(level.mask[:, None], features, 0.0))
+    return flat[:-1].reshape(nz, ny, nx, C)

@@ -1,0 +1,40 @@
+"""Checkpoint store: orbax-backed with a json index.
+
+The analog of the reference's json-index checkpoint manager
+(/root/reference/rslo/torchplus/train/checkpoint.py:10-218): numbered
+step checkpoints, ``latest`` resolution, max_to_keep pruning, and
+resumable global step + optimizer state.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 8):
+        self.dir = Path(directory).resolve()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True))
+
+    def save(self, step: int, state: Any, force: bool = False):
+        self.mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+        self.mgr.wait_until_finished()
+
+    def latest_step(self):
+        return self.mgr.latest_step()
+
+    def restore(self, state_template: Any, step: int | None = None):
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return None
+        return self.mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template))

@@ -1,0 +1,114 @@
+"""Training driver: config -> mesh -> state -> step loop with periodic
+eval and checkpointing.
+
+The analog of the reference's train() loop
+(/root/reference/train_hdf5.py:290-823): resumable global step, the
+step-1500 warmup phase switch (recompiled variant, not traced control
+flow), loss logging every display_step, eval + checkpoint every
+steps_per_eval.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config.schema import PipelineCfg
+from ..models.net import OdomNet
+from ..utils.logging import MetricLogger
+from .checkpoint import CheckpointManager
+from .optim import build_optimizer
+from .state import TrainState
+from .step import make_eval_step, make_train_step
+
+
+def data_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("data",))
+
+
+def shard_batch(batch: dict, mesh: Mesh):
+    sharding = NamedSharding(mesh, P("data"))
+    arrays = {k: v for k, v in batch.items() if k != "meta"}
+    return jax.device_put(jax.tree.map(jnp.asarray, arrays), sharding)
+
+
+class Trainer:
+    def __init__(self, cfg: PipelineCfg, model_dir: str,
+                 mesh: Mesh | None = None, self_supervised: bool = True,
+                 rank0: bool = True):
+        self.cfg = cfg
+        self.model_dir = Path(model_dir)
+        self.mesh = mesh or data_mesh()
+        self.net = OdomNet(cfg)
+        self.tx = build_optimizer(cfg.optimizer, cfg.train)
+        self.self_supervised = self_supervised
+        self.logger = MetricLogger(model_dir, enabled=rank0)
+        self.ckpt = CheckpointManager(str(self.model_dir / "ckpt"),
+                                      cfg.train.checkpoint_max_keep)
+        self._steps = {}
+
+    def init_state(self, example) -> TrainState:
+        variables = self.net.init(jax.random.PRNGKey(self.cfg.train.seed),
+                                  example, train=False)
+        n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+        self.logger.log_text(f"model initialized: {n_params/1e6:.2f}M params")
+        state = TrainState.create(
+            variables, self.tx,
+            {"rot": self.cfg.loss.rotation_init_alpha,
+             "trans": self.cfg.loss.translation_init_alpha})
+        restored = self.ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            self.logger.log_text(
+                f"restored checkpoint at step {int(state.step)}")
+        return jax.device_put(state, NamedSharding(self.mesh, P()))
+
+    def _step_fn(self, warmup: bool):
+        key = ("train", warmup)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.net, self.tx, self.cfg, self.mesh, warmup=warmup,
+                self_supervised=self.self_supervised)
+        return self._steps[key]
+
+    def eval_fn(self):
+        if "eval" not in self._steps:
+            self._steps["eval"] = make_eval_step(self.net, self.cfg,
+                                                 self.mesh)
+        return self._steps["eval"]
+
+    def fit(self, train_iter, state: TrainState,
+            eval_hook=None, max_steps: Optional[int] = None) -> TrainState:
+        cfg = self.cfg.train
+        total = max_steps or cfg.steps
+        t_last = time.time()
+        for batch in train_iter:
+            step_i = int(state.step)
+            if step_i >= total:
+                break
+            warmup = (self.self_supervised and
+                      step_i <= self.cfg.loss.warmup_steps)
+            batch_meta = batch.pop("meta", None)
+            sharded = shard_batch(batch, self.mesh)
+            state, metrics = self._step_fn(warmup)(state, sharded)
+            step_i = int(state.step)
+            if step_i % cfg.display_step == 0 or step_i <= 1:
+                metrics = jax.tree.map(float, jax.device_get(metrics))
+                dt = time.time() - t_last
+                metrics["steptime_ms"] = dt / max(cfg.display_step, 1) * 1e3
+                t_last = time.time()
+                self.logger.log_metrics(metrics, step_i)
+            if step_i % cfg.steps_per_eval == 0 and step_i > 0:
+                self.ckpt.save(step_i, jax.device_get(state))
+                if eval_hook is not None:
+                    eval_hook(self, state, step_i)
+        self.ckpt.save(int(state.step), jax.device_get(state), force=True)
+        return state

@@ -1,0 +1,103 @@
+"""Jitted data-parallel train/eval steps over a device mesh.
+
+TPU-native replacement for the reference's NCCL DDP loop
+(/root/reference/train_hdf5.py:594-814 + rslo/utils/distributed_utils.py):
+one ``shard_map``-decorated step over mesh axis "data" — gradients and
+loss scalars are reduced with ``psum``/``pmean`` inside the step (the
+analog of apex DDP all-reduce + the explicit loss all-reduce at
+train_hdf5.py:650-669), and cross-replica BatchNorm sees the same axis
+name (SyncBN analog).
+
+The warmup phase switch (identity-R consistency + longer inner ICP before
+``loss.warmup_steps``) is selected host-side: two compiled step variants,
+picked by the python-level global step — no traced control flow.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config.schema import PipelineCfg
+from ..losses.objective import compute_objective
+from .state import TrainState
+
+
+def make_train_step(net, tx: optax.GradientTransformation,
+                    cfg: PipelineCfg, mesh: Mesh, *, warmup: bool,
+                    self_supervised: bool = True):
+    """Returns a jitted function (state, example) -> (state, metrics).
+
+    ``example`` carries a leading device-batch axis sharded over the mesh
+    "data" axis; each device processes one sample (reference semantics:
+    per-GPU batch_size 1, middle.py:221).
+    """
+    pc_range = cfg.voxelizer.point_cloud_range
+
+    def loss_fn(trainable, batch_stats, example):
+        variables = {"params": trainable["params"],
+                     "batch_stats": batch_stats}
+        preds, mutated = net.apply(variables, example, train=True,
+                                   mutable=["batch_stats"])
+        out = compute_objective(preds, example, trainable["alphas"],
+                                cfg.loss, pc_range, warmup=warmup,
+                                self_supervised=self_supervised)
+        return out.total, (out.aux, mutated["batch_stats"])
+
+    def device_step(state: TrainState, example):
+        # strip the leading per-device batch axis of size 1
+        example = jax.tree.map(lambda x: x[0], example)
+        trainable = {"params": state.params, "alphas": state.alphas}
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (aux, new_stats)), grads = grad_fn(
+            trainable, state.batch_stats, example)
+        grads = jax.lax.pmean(grads, "data")
+        aux = jax.lax.pmean(aux, "data")
+        updates, new_opt = tx.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        # batch stats: average across replicas (sync BN running stats)
+        new_stats = jax.lax.pmean(new_stats, "data")
+        new_state = state.replace(
+            params=new_trainable["params"],
+            alphas=new_trainable["alphas"],
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        aux = dict(aux)
+        aux["grad_norm"] = optax.global_norm(grads)
+        aux.update({f"alpha_{k}": v for k, v in state.alphas.items()})
+        return new_state, aux
+
+    data_axes = P("data")
+    step = jax.shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), data_axes),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(net, cfg: PipelineCfg, mesh: Mesh):
+    """(state, example) -> (P, 7) odometry predictions per device sample,
+    gathered across the mesh (the analog of evaluate.py:410-420)."""
+
+    def device_eval(params, batch_stats, example):
+        example = jax.tree.map(lambda x: x[0], example)
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds = net.apply(variables, example, train=False)
+        odom = preds["odometry"].astype(jnp.float32)
+        return odom[None]  # restore device axis
+
+    fn = jax.shard_map(
+        device_eval, mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)

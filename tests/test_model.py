@@ -1,0 +1,143 @@
+"""End-to-end model + objective integration tests on tiny shapes (CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rslo_tpu.config.schema import (PipelineCfg, VoxelizerCfg, MiddleCfg,
+                                    OdomCfg, LossCfg)
+from rslo_tpu.models.net import OdomNet
+from rslo_tpu.ops.voxelize import VoxelizerConfig, voxelize
+from rslo_tpu.losses.objective import compute_objective
+
+
+def tiny_cfg():
+    return PipelineCfg(
+        voxelizer=VoxelizerCfg(
+            point_cloud_range=(-6.4, -6.4, -0.8, 6.4, 6.4, 0.8),
+            voxel_size=(0.1, 0.1, 0.04), max_points_per_voxel=4,
+            max_voxels=2048),
+        middle=MiddleCfg(level_capacities=(2048, 2048, 1024, 512),
+                         channels=(8, 8, 16, 16)),
+        odom=OdomCfg(num_input_features=32, layer_nums=(1, 1, 1),
+                     num_filters=(16, 16, 32),
+                     num_upsample_filters=(16, 16, 16),
+                     bn_type="bn"),
+        loss=LossCfg(max_loss_points=2048),
+    )
+
+
+def make_example(rng, cfg, L=2):
+    vcfg = VoxelizerConfig(
+        point_cloud_range=cfg.voxelizer.point_cloud_range,
+        voxel_size=cfg.voxelizer.voxel_size,
+        max_points=cfg.voxelizer.max_points_per_voxel,
+        max_voxels=cfg.voxelizer.max_voxels)
+    voxels, nums, coords, masks = [], [], [], []
+    base = rng.uniform(-6, 6, size=(4000, 2)).astype(np.float32)
+    for t in range(L):
+        xy = base + t * 0.05
+        z = rng.uniform(-0.7, 0.7, size=(4000, 1)).astype(np.float32)
+        inten = rng.uniform(0, 1, size=(4000, 1)).astype(np.float32)
+        nrm = rng.normal(size=(4000, 3)).astype(np.float32)
+        pts = np.concatenate([xy, z, inten, nrm], axis=1)
+        out = voxelize(jnp.asarray(pts), jnp.ones(4000, bool), vcfg)
+        voxels.append(out.voxels)
+        nums.append(out.num_points)
+        coords.append(out.coords)
+        masks.append(out.mask)
+    n_pairs = L * (L - 1) // 2
+    gt = np.zeros((n_pairs, 7), np.float32)
+    gt[:, 3] = 1.0
+    gt[:, 0] = 0.05 * 1.41
+    return {
+        "voxels": jnp.stack(voxels),
+        "num_points": jnp.stack(nums),
+        "coords": jnp.stack(coords),
+        "voxel_mask": jnp.stack(masks),
+        "odometry": jnp.asarray(gt),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_state():
+    rng = np.random.default_rng(1)
+    cfg = tiny_cfg()
+    example = make_example(rng, cfg)
+    net = OdomNet(cfg)
+    variables = net.init(jax.random.PRNGKey(0), example, train=False)
+    return cfg, net, variables, example
+
+
+def test_forward_shapes(model_and_state):
+    cfg, net, variables, example = model_and_state
+    preds = net.apply(variables, example, train=False)
+    assert preds["odometry"].shape == (1, 7)
+    q = np.asarray(preds["odometry"][:, 3:])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
+    # BEV grid is 128x128 -> 1/8 = 16x16
+    assert preds["tq_map"].shape == (1, 16, 16, 7)
+    assert preds["t_conf"].shape == (1, 16, 16, 1)
+    # softmax confidences sum to 1 over the map
+    np.testing.assert_allclose(
+        np.asarray(preds["t_conf"]).sum(), 1.0, atol=1e-3)
+    assert len(preds["pyramid"]) == 3
+    assert preds["voxel_covs"][0].shape == (2048, 7)
+    # eigenvalue params positive at valid voxels
+    cov = np.asarray(preds["voxel_covs"][0])
+    m = np.asarray(preds["voxel_masks"][0])
+    assert np.all(cov[m][:, :3] > 0)
+    assert np.all(np.isfinite(np.asarray(preds["tq_map"])))
+
+
+def test_objective_supervised(model_and_state):
+    cfg, net, variables, example = model_and_state
+    preds = net.apply(variables, example, train=False)
+    alphas = {"rot": jnp.float32(-2.5), "trans": jnp.float32(0.0)}
+    out = compute_objective(preds, example, alphas, cfg.loss,
+                            cfg.voxelizer.point_cloud_range,
+                            warmup=False, self_supervised=False)
+    assert np.isfinite(float(out.total))
+    assert float(out.aux["C_loss"]) == 0.0
+    assert float(out.aux["pyramid_loss"]) != 0.0
+
+
+def test_objective_self_supervised_and_grads(model_and_state):
+    cfg, net, variables, example = model_and_state
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p, alphas):
+        preds, _ = net.apply({"params": p, **other}, example, train=True,
+                             mutable=["batch_stats"])
+        out = compute_objective(preds, example, alphas, cfg.loss,
+                                cfg.voxelizer.point_cloud_range,
+                                warmup=True, self_supervised=True)
+        return out.total, out.aux
+
+    alphas = {"rot": jnp.float32(-2.5), "trans": jnp.float32(0.0)}
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, alphas)
+    assert np.isfinite(float(loss)), aux
+    flat = jax.tree_util.tree_leaves(grads)
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                               for g in flat)))
+    assert np.isfinite(gnorm) and gnorm > 0
+    # consistency produced a finite ICP correction
+    assert np.isfinite(float(aux["consistency_loss"]))
+
+
+def test_self_supervised_identity_pair_low_loss(model_and_state):
+    """Two identical frames + identity warmup: the ICP correction should
+    be near identity and the consistency data term small."""
+    cfg, net, variables, example = model_and_state
+    ex = dict(example)
+    for k in ("voxels", "num_points", "coords", "voxel_mask"):
+        ex[k] = jnp.stack([example[k][0], example[k][0]])
+    preds = net.apply(variables, ex, train=False)
+    alphas = {"rot": jnp.float32(0.0), "trans": jnp.float32(0.0)}
+    out = compute_objective(preds, ex, alphas, cfg.loss,
+                            cfg.voxelizer.point_cloud_range,
+                            warmup=True, self_supervised=True)
+    # identical clouds -> associations are exact -> tiny Mahalanobis term
+    assert float(out.aux["consistency_loss"]) < 1.0

@@ -1,0 +1,164 @@
+"""Sparse conv engine vs dense numpy oracles on tiny grids."""
+import numpy as np
+import jax.numpy as jnp
+
+from rslo_tpu.ops import sparse_conv as sc
+
+SHAPE = (5, 6, 7)  # (nz, ny, nx)
+
+
+def random_level(rng, n_active=30, cap=48, shape=SHAPE):
+    nz, ny, nx = shape
+    all_ids = rng.choice(nz * ny * nx, size=n_active, replace=False)
+    coords = np.stack([all_ids // (ny * nx), (all_ids // nx) % ny,
+                       all_ids % nx], -1).astype(np.int32)
+    pad = np.zeros((cap - n_active, 3), np.int32)
+    mask = np.zeros(cap, bool)
+    mask[:n_active] = True
+    level = sc.level_from_coords(jnp.asarray(np.concatenate([coords, pad])),
+                                 jnp.asarray(mask), shape)
+    feats = rng.normal(size=(cap, 4)).astype(np.float32)
+    feats[~np.asarray(level.mask)] = 0
+    return level, jnp.asarray(feats)
+
+
+def dense_of(level, feats):
+    d = np.zeros(level.shape + (feats.shape[-1],), np.float32)
+    c = np.asarray(level.coords)
+    m = np.asarray(level.mask)
+    f = np.asarray(feats)
+    d[c[m, 0], c[m, 1], c[m, 2]] = f[m]
+    return d
+
+
+def dense_conv(dense, w, stride=(1, 1, 1), pad=(1, 1, 1), active=None):
+    """Plain dense 3D conv oracle; `active` is a bool mask of input sites
+    (submanifold convs only read/write active sites)."""
+    K = w.shape[0]
+    k = round(K ** (1 / 3))
+    kz = ky = kx = k
+    nz, ny, nx = dense.shape[:3]
+    oz = (nz + 2 * pad[0] - kz) // stride[0] + 1
+    oy = (ny + 2 * pad[1] - ky) // stride[1] + 1
+    ox = (nx + 2 * pad[2] - kx) // stride[2] + 1
+    out = np.zeros((oz, oy, ox, w.shape[-1]), np.float32)
+    for z in range(oz):
+        for y in range(oy):
+            for x in range(ox):
+                for d, (dz, dy, dx) in enumerate(
+                        np.ndindex(kz, ky, kx)):
+                    iz = z * stride[0] + dz - pad[0]
+                    iy = y * stride[1] + dy - pad[1]
+                    ix = x * stride[2] + dx - pad[2]
+                    if 0 <= iz < nz and 0 <= iy < ny and 0 <= ix < nx:
+                        if active is not None and not active[iz, iy, ix]:
+                            continue
+                        out[z, y, x] += dense[iz, iy, ix] @ w[d]
+    return out
+
+
+def test_submanifold_conv_matches_dense(rng):
+    level, feats = random_level(rng)
+    w = rng.normal(size=(27, 4, 5)).astype(np.float32)
+    rb = sc.build_submanifold_index(level)
+    out = np.asarray(sc.sparse_conv_apply(feats, rb, jnp.asarray(w),
+                                          out_mask=level.mask))
+    dense = dense_of(level, feats)
+    active = dense_of(level, jnp.ones((level.capacity, 1)))[..., 0] > 0
+    want = dense_conv(dense, w, active=active)
+    c = np.asarray(level.coords)
+    m = np.asarray(level.mask)
+    np.testing.assert_allclose(out[m], want[c[m, 0], c[m, 1], c[m, 2]],
+                               atol=1e-4)
+    # padded rows must stay zero
+    assert np.all(out[~m] == 0)
+
+
+def test_downsample_sites_match_dense(rng):
+    level, feats = random_level(rng)
+    out_level = sc.downsample_level(level, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                    out_capacity=64)
+    dense = dense_of(level, jnp.ones((level.capacity, 1)))
+    occupancy = dense_conv(dense, np.ones((27, 1, 1), np.float32),
+                           stride=(2, 2, 2))[..., 0]
+    want_active = np.argwhere(occupancy > 0)
+    got = np.asarray(out_level.coords)[np.asarray(out_level.mask)]
+    got_set = {tuple(r) for r in got}
+    want_set = {tuple(r) for r in want_active}
+    assert got_set == want_set
+
+
+def test_strided_conv_matches_dense(rng):
+    level, feats = random_level(rng)
+    w = rng.normal(size=(27, 4, 5)).astype(np.float32)
+    out_level = sc.downsample_level(level, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                    out_capacity=64)
+    rb = sc.build_conv_index(level, out_level, (3, 3, 3), (2, 2, 2),
+                             (1, 1, 1))
+    out = np.asarray(sc.sparse_conv_apply(feats, rb, jnp.asarray(w),
+                                          out_mask=out_level.mask))
+    dense = dense_of(level, feats)
+    want = dense_conv(dense, w, stride=(2, 2, 2))
+    c = np.asarray(out_level.coords)
+    m = np.asarray(out_level.mask)
+    np.testing.assert_allclose(out[m], want[c[m, 0], c[m, 1], c[m, 2]],
+                               atol=1e-4)
+
+
+def test_anisotropic_strided_conv(rng):
+    """The z-collapse conv: kernel (3,1,1), stride (2,1,1), pad 0."""
+    level, feats = random_level(rng)
+    w = rng.normal(size=(3, 4, 5)).astype(np.float32)
+    out_level = sc.downsample_level(level, (3, 1, 1), (2, 1, 1), (0, 0, 0),
+                                    out_capacity=64)
+    rb = sc.build_conv_index(level, out_level, (3, 1, 1), (2, 1, 1),
+                             (0, 0, 0))
+    out = np.asarray(sc.sparse_conv_apply(feats, rb, jnp.asarray(w),
+                                          out_mask=out_level.mask))
+    dense = dense_of(level, feats)
+    # oracle with explicit anisotropic loop
+    nz, ny, nx = SHAPE
+    oz = (nz - 3) // 2 + 1
+    want = np.zeros((oz, ny, nx, 5), np.float32)
+    for z in range(oz):
+        for dz in range(3):
+            want[z] += dense[z * 2 + dz] @ w[dz]
+    c = np.asarray(out_level.coords)
+    m = np.asarray(out_level.mask)
+    np.testing.assert_allclose(out[m], want[c[m, 0], c[m, 1], c[m, 2]],
+                               atol=1e-4)
+
+
+def test_inverse_conv_roundtrip_sites(rng):
+    """Inverse conv must produce features at exactly the fine sites, fed
+    from the coarse level like a transposed conv."""
+    fine, _ = random_level(rng)
+    coarse = sc.downsample_level(fine, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                 out_capacity=64)
+    cf = rng.normal(size=(64, 4)).astype(np.float32)
+    cf[~np.asarray(coarse.mask)] = 0
+    w = rng.normal(size=(27, 4, 3)).astype(np.float32)
+    rb = sc.build_inverse_index(coarse, fine, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    out = np.asarray(sc.sparse_conv_apply(jnp.asarray(cf), rb, jnp.asarray(w),
+                                          out_mask=fine.mask))
+    # oracle: for each fine site f and tap d, c=(f+p-d)/s
+    cd = dense_of(coarse, jnp.asarray(cf))
+    fc = np.asarray(fine.coords)
+    fm = np.asarray(fine.mask)
+    for row in np.argwhere(fm)[:10]:
+        f = fc[row[0]]
+        acc = np.zeros(3, np.float32)
+        for d, (dz, dy, dx) in enumerate(np.ndindex(3, 3, 3)):
+            num = f + np.array([1, 1, 1]) - np.array([dz, dy, dx])
+            if np.any(num % 2):
+                continue
+            c = num // 2
+            if np.all(c >= 0) and np.all(c < coarse.shape):
+                acc += cd[c[0], c[1], c[2]] @ w[d]
+        np.testing.assert_allclose(out[row[0]], acc, atol=1e-4)
+
+
+def test_to_dense_scatter(rng):
+    level, feats = random_level(rng)
+    d = np.asarray(sc.to_dense(feats, level))
+    np.testing.assert_allclose(d, dense_of(level, feats), atol=1e-6)

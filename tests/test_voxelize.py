@@ -1,0 +1,89 @@
+"""Voxelizer vs a dict-based numpy oracle (spconv.VoxelGenerator semantics,
+see SURVEY.md §2.8)."""
+import numpy as np
+import jax.numpy as jnp
+
+from rslo_tpu.ops.voxelize import VoxelizerConfig, voxelize
+
+CFG = VoxelizerConfig(
+    point_cloud_range=(-4.0, -2.0, -1.0, 4.0, 2.0, 1.0),
+    voxel_size=(0.5, 0.5, 0.5),
+    max_points=4,
+    max_voxels=64,
+)
+
+
+def oracle(points, cfg):
+    pr = np.asarray(cfg.point_cloud_range)
+    vs = np.asarray(cfg.voxel_size)
+    grid = cfg.grid_size
+    vox = {}
+    for p in points:
+        c = np.floor((p[:3] - pr[:3]) / vs).astype(int)
+        if np.any(c < 0) or np.any(c >= grid):
+            continue
+        key = (c[2], c[1], c[0])
+        vox.setdefault(key, []).append(p)
+    return vox
+
+
+def test_voxelize_matches_oracle(rng):
+    cfg = CFG._replace(max_voxels=256)
+    pts = rng.uniform(-4.5, 4.5, size=(256, 5)).astype(np.float32)
+    pts[:, 1] *= 0.5
+    pts[:, 2] *= 0.25
+    out = voxelize(jnp.asarray(pts), jnp.ones(256, dtype=bool), cfg)
+    want = oracle(pts, cfg)
+    nv = int(out.num_voxels)
+    assert nv == len(want)
+
+    got = {}
+    for i in range(nv):
+        key = tuple(int(x) for x in np.asarray(out.coords[i]))
+        n = int(out.num_points[i])
+        got[key] = np.asarray(out.voxels[i][:n])
+    assert set(got) == set(want)
+    for key in want:
+        w = np.stack(want[key][:cfg.max_points])
+        np.testing.assert_allclose(np.sort(got[key], axis=0),
+                                   np.sort(w, axis=0), atol=1e-6)
+    # ids sorted with padding at the end
+    ids = np.asarray(out.coords)
+    assert np.all(ids[nv:] == -1)
+
+
+def test_voxelize_respects_point_mask(rng):
+    pts = rng.uniform(-1, 1, size=(64, 4)).astype(np.float32)
+    mask = np.zeros(64, bool)
+    mask[:10] = True
+    out = voxelize(jnp.asarray(pts), jnp.asarray(mask), CFG)
+    want = oracle(pts[:10], CFG)
+    assert int(out.num_voxels) == len(want)
+
+
+def test_point_voxel_backref(rng):
+    pts = rng.uniform(-1, 1, size=(128, 4)).astype(np.float32)
+    out = voxelize(jnp.asarray(pts), jnp.ones(128, dtype=bool), CFG)
+    pv = np.asarray(out.point_voxel)
+    coords = np.asarray(out.coords)
+    pr = np.asarray(CFG.point_cloud_range)
+    vs = np.asarray(CFG.voxel_size)
+    for i in range(128):
+        if pv[i] < 0:
+            continue
+        c = np.floor((pts[i, :3] - pr[:3]) / vs).astype(int)
+        assert tuple(coords[pv[i]]) == (c[2], c[1], c[0])
+
+
+def test_height_threshold_ground_filter(rng):
+    cfg = CFG._replace(height_threshold=0.3, block_size=4)
+    # A flat "ground" at z=-0.9 plus some elevated points in one column.
+    ground = np.stack([rng.uniform(-3.9, 3.9, 64), rng.uniform(-1.9, 1.9, 64),
+                       np.full(64, -0.9), np.zeros(64)], -1).astype(np.float32)
+    high = ground.copy()
+    high[:, 2] = 0.5
+    pts = np.concatenate([ground, high]).astype(np.float32)
+    out = voxelize(jnp.asarray(pts), jnp.ones(len(pts), bool), cfg)
+    zs = np.asarray(out.coords)[:int(out.num_voxels), 0]
+    # all ground-level voxels (z cell 0) should be filtered out
+    assert np.all(zs == np.floor((0.5 - (-1.0)) / 0.5))
