@@ -50,19 +50,31 @@ def main():
         return net.apply(variables, ex, train=False)["odometry"]
 
     t0 = time.time()
-    example = prepare_example(pts, mask, vcfg)
-    variables = net.init(jax.random.PRNGKey(0), example, train=False)
+    example = jax.jit(
+        lambda p, m: prepare_example(p, m, vcfg))(pts, mask)
+    jax.block_until_ready(example)
+    print(f"# voxelize compile+run: {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), example, train=False)
+    jax.block_until_ready(variables)
+    print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
     out = forward(variables, pts, mask)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
-    print(f"# compile+init: {compile_s:.1f}s", file=sys.stderr)
+    print(f"# forward compile: {compile_s:.1f}s", file=sys.stderr,
+          flush=True)
 
     # steady state: each call voxelizes BOTH frames + full net forward.
-    n_iter = 20
+    # NOTE: on the axon backend block_until_ready does NOT synchronize —
+    # a host fetch of the (1, 7) output is the only honest barrier.
+    np.asarray(forward(variables, pts, mask))  # warm
+    n_iter = 10
     t0 = time.time()
     for i in range(n_iter):
-        out = forward(variables, pts, mask)
-    jax.block_until_ready(out)
+        out = np.asarray(forward(variables, pts, mask))
     dt = (time.time() - t0) / n_iter
     fps = 1.0 / dt  # one new frame per step in odometry streaming
 

@@ -1,0 +1,189 @@
+"""Command-line entry points.
+
+The analog of the reference's fire-based CLI
+(/root/reference/train_hdf5.py:891-893, evaluate.py:437-438):
+
+    python -m rslo_tpu.cli create_hdf5 --kitti_root ... --out all.h5
+    python -m rslo_tpu.cli train --config cfg.json --model_dir runs/x
+    python -m rslo_tpu.cli evaluate --config cfg.json --model_dir runs/x
+    python -m rslo_tpu.cli bench
+
+``--synthetic`` swaps the KITTI store for the generated scene (smoke
+tests / benches without mounted data).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_cfg(path: str | None):
+    from .config.schema import PipelineCfg
+    if path is None:
+        return PipelineCfg()
+    return PipelineCfg.from_json(Path(path).read_text())
+
+
+def _synthetic_dataset(cfg, split: str, n_windows: int = 64):
+    """Dataset-shaped object over the synthetic scene."""
+    from .utils.synthetic import synth_sequence
+    from .data.dataset import generate_cyc_vo
+    from .geometry import np_compose_pose
+
+    L = cfg.data.seq_length if split == "train" else 2
+
+    class SynthDataset:
+        def __len__(self):
+            return n_windows
+
+        def __getitem__(self, idx):
+            frames, gts = synth_sequence(seed=idx, n_frames=L,
+                                         n_points=cfg.data.max_points)
+            poses = [np.array([0, 0, 0, 1, 0, 0, 0], np.float32)]
+            for g in gts:
+                poses.append(np_compose_pose(poses[-1], g))
+            poses = np.stack(poses)
+            return {
+                "points": frames,
+                "pose_seq": poses,
+                "odometry": generate_cyc_vo(poses),
+                "seq": 0,
+                "frames": list(range(idx, idx + L)),
+            }
+
+    return SynthDataset()
+
+
+def cmd_create_hdf5(args):
+    from .data.hdf5_store import create_hdf5
+    create_hdf5(args.kitti_root, args.out,
+                sequences=[int(s) for s in args.sequences.split(",")],
+                max_frames=args.max_frames)
+
+
+def cmd_train(args):
+    import jax
+    from .config.schema import PipelineCfg
+    from .data.dataset import KittiWindowDataset
+    from .data.loader import DataLoader
+    from .train.distributed import initialize_multihost, is_rank0
+    from .train.loop import Trainer, data_mesh, shard_batch
+    from .data.prepare import prepare_example, voxelizer_config
+    import jax.numpy as jnp
+
+    initialize_multihost()
+    cfg = _load_cfg(args.config)
+    if args.steps:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    steps=args.steps))
+    mesh = data_mesh()
+    trainer = Trainer(cfg, args.model_dir, mesh,
+                      self_supervised=not args.supervised,
+                      rank0=is_rank0())
+    trainer.logger.log_text(f"config:\n{cfg.to_json()}")
+
+    if args.synthetic:
+        dataset = _synthetic_dataset(cfg, "train")
+    else:
+        dataset = KittiWindowDataset(cfg.data, "train")
+    D = mesh.devices.size
+    loader = DataLoader(dataset, cfg.data, D, cfg.train.steps,
+                        train=True, seed=cfg.train.seed)
+
+    # init from one real batch (shapes must match the stream)
+    first = next(iter(loader))
+    first.pop("meta", None)
+    vcfg = voxelizer_config(cfg)
+    ex0 = prepare_example(jnp.asarray(first["points"][0]),
+                          jnp.asarray(first["point_mask"][0]), vcfg)
+    ex0["odometry"] = jnp.asarray(first["odometry"][0])
+    state = trainer.init_state(ex0)
+
+    def batches():
+        yield first
+        for b in loader:
+            yield b
+
+    state = trainer.fit(batches(), state, max_steps=args.steps)
+    trainer.logger.log_text(f"done at step {int(state.step)}")
+
+
+def cmd_evaluate(args):
+    import jax
+    import jax.numpy as jnp
+    from .data.dataset import KittiWindowDataset
+    from .eval.runner import run_eval
+    from .train.distributed import initialize_multihost, is_rank0
+    from .train.loop import Trainer, data_mesh
+
+    initialize_multihost()
+    cfg = _load_cfg(args.config)
+    mesh = data_mesh()
+    trainer = Trainer(cfg, args.model_dir, mesh, rank0=is_rank0())
+    if args.synthetic:
+        dataset = _synthetic_dataset(cfg, "val", n_windows=32)
+    else:
+        dataset = KittiWindowDataset(cfg.data, "val", seq_length=2)
+    sample = dataset[0]
+    from .data.loader import collate
+    from .data.prepare import prepare_example, voxelizer_config
+    vcfg = voxelizer_config(cfg)
+    b0 = collate([sample], cfg.data)
+    ex0 = prepare_example(jnp.asarray(b0["points"][0]),
+                          jnp.asarray(b0["point_mask"][0]), vcfg)
+    ex0["odometry"] = jnp.asarray(b0["odometry"][0])
+    state = trainer.init_state(ex0)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    results = run_eval(trainer.net, variables, dataset, cfg, mesh,
+                       trainer.eval_fn(), trainer.logger,
+                       max_windows=args.max_windows)
+    print(json.dumps(results, indent=2, default=str))
+
+
+def cmd_bench(args):
+    import runpy
+    runpy.run_path(str(Path(__file__).resolve().parents[1] / "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rslo_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create_hdf5")
+    c.add_argument("--kitti_root", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--sequences", default=",".join(str(i)
+                                                   for i in range(11)))
+    c.add_argument("--max_frames", type=int, default=None)
+    c.set_defaults(fn=cmd_create_hdf5)
+
+    t = sub.add_parser("train")
+    t.add_argument("--config", default=None)
+    t.add_argument("--model_dir", required=True)
+    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--synthetic", action="store_true")
+    t.add_argument("--supervised", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate")
+    e.add_argument("--config", default=None)
+    e.add_argument("--model_dir", required=True)
+    e.add_argument("--synthetic", action="store_true")
+    e.add_argument("--max_windows", type=int, default=None)
+    e.set_defaults(fn=cmd_evaluate)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,18 +64,25 @@ def qinv(q: jax.Array) -> jax.Array:
 
 
 def qexp(v: jax.Array) -> jax.Array:
-    """Exponential map from R^3 (log-quaternion) to unit quaternion (wxyz)."""
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    n = jnp.maximum(n, 1e-8)
+    """Exponential map from R^3 (log-quaternion) to unit quaternion (wxyz).
+
+    safe_norm keeps the Jacobian finite at v == 0 (the solver linearizes
+    retractions at exactly zero local coordinates)."""
+    n = safe_norm(v, eps=1e-8)
     return jnp.concatenate([jnp.cos(n), v * (jnp.sin(n) / n)], axis=-1)
 
 
 def qlog(q: jax.Array) -> jax.Array:
-    """Log map from unit quaternion (wxyz) to R^3."""
-    n = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
-    n = jnp.maximum(n, 1e-8)
-    ang = jnp.arccos(jnp.clip(q[..., :1], -1.0, 1.0))
-    return q[..., 1:] * (ang / n)
+    """Log map from unit quaternion (wxyz) to R^3.
+
+    atan2 formulation — unlike acos(w), its derivative stays finite as
+    the angle -> 0, which matters because the pose-graph solver
+    differentiates through this at near-identity residuals."""
+    v = q[..., 1:]
+    w = q[..., :1]
+    s = safe_norm(v, eps=1e-8)
+    ang = jnp.arctan2(s, w)
+    return v * (ang / s)
 
 
 def rotate_vec_by_q(t: jax.Array, q: jax.Array) -> jax.Array:

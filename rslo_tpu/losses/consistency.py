@@ -121,6 +121,11 @@ def consistency_pair(src: jax.Array, src_mask: jax.Array,
     sigma = sigma_src + jnp.einsum(
         'ij,njk,lk->nil', R_det, sigma_assoc, R_det,
         precision=jax.lax.Precision.HIGHEST)
+    # Padded rows carry zero covariance; inverting near-zero matrices
+    # explodes the backward pass (1/det^2) into inf * masked-0 = NaN.
+    # Replace invalid rows with identity before inversion.
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=sigma.dtype), sigma.shape)
+    sigma = jnp.where(assoc_valid[:, None, None], sigma, eye)
     sigma_inv, det = inv3x3(sigma)
     md = jnp.einsum('ni,nij,nj->n', diff, sigma_inv, diff,
                     precision=jax.lax.Precision.HIGHEST)

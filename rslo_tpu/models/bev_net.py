@@ -30,6 +30,17 @@ from ..geometry import (decode_tq_map, grid_cell_coords, qnormalize,
                         weighted_kabsch)
 
 
+def identity_pose_bias(key, shape, dtype=jnp.float32):
+    """Bias init for 7-channel tq heads: identity pose [0,0,0, 1,0,0,0].
+
+    A zero bias makes the quaternion channels exactly 0 at init, whose
+    normalization has an unbounded derivative — with fully-masked inputs
+    that surfaces as NaN grads.  Identity is also the right prior for
+    ego-motion heads."""
+    b = jnp.zeros(shape, dtype)
+    return b.at[3].set(1.0)
+
+
 def max_pool_mask(mask: jax.Array, kernel: int, stride: int) -> jax.Array:
     """Max-pool a (B, H, W, 1) mask with SAME padding (mask propagation)."""
     return nn.max_pool(mask, (kernel, kernel), (stride, stride),
@@ -189,7 +200,8 @@ class BEVOdomNet(nn.Module):
             x = ConvBNRelu(feats, 3, cfg.bn_type)(x, train)
             if cfg.use_deep_supervision and i < len(cfg.upsample_strides) - 1:
                 h = ConvBNRelu(feats // 2, 3, cfg.bn_type)(x, train)
-                py = nn.Conv(7, (1, 1))(h)
+                py = nn.Conv(7, (1, 1),
+                             bias_init=identity_pose_bias)(h)
                 pm = py_masks[i]
                 py_preds.append((py * (pm > 0).astype(py.dtype), pm))
 
@@ -197,7 +209,8 @@ class BEVOdomNet(nn.Module):
         # 7-channel local tq map head
         h = ConvBNRelu(64, 3, cfg.bn_type)(x_tail, train)
         h = ConvBNRelu(32, 3, cfg.bn_type)(h, train)
-        tq_map = nn.Conv(7, (1, 1))(h).astype(jnp.float32)
+        tq_map = nn.Conv(7, (1, 1), bias_init=identity_pose_bias)(
+            h).astype(jnp.float32)
         q = tq_map[..., 3:]
         q = q / jnp.sqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-16)
         tq_map = jnp.concatenate([tq_map[..., :3], q], axis=-1)

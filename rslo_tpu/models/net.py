@@ -27,7 +27,12 @@ class OdomNet(nn.Module):
     cfg: PipelineCfg
 
     def setup(self):
-        self.middle = SparseMiddleCov(self.cfg.middle)
+        if self.cfg.middle.name == "PillarMiddleCov":
+            from .middle_pillar import PillarMiddleCov
+            self.middle = PillarMiddleCov(self.cfg.middle,
+                                          self.sparse_shape)
+        else:
+            self.middle = SparseMiddleCov(self.cfg.middle)
         self.bev_net = BEVOdomNet(self.cfg.odom,
                                   self.cfg.voxelizer.point_cloud_range)
 
@@ -49,14 +54,19 @@ class OdomNet(nn.Module):
         vmask = example["voxel_mask"]
         L = voxels.shape[0]
 
+        pillar_mode = self.cfg.middle.name == "PillarMiddleCov"
         bevs, covs, feats = [], [], []
         for t in range(L):
             f = simple_voxel_xyzi_normal(
                 voxels[t], num_points[t],
                 self.cfg.vfe.num_input_features)
-            geo = build_geometry(coords[t], vmask[t], self.sparse_shape,
-                                 self.cfg.middle.level_capacities)
-            bev, cov = self.middle(f, geo, train)
+            if pillar_mode:
+                bev, cov = self.middle(f, coords[t], vmask[t], train)
+            else:
+                geo = build_geometry(coords[t], vmask[t],
+                                     self.sparse_shape,
+                                     self.cfg.middle.level_capacities)
+                bev, cov = self.middle(f, geo, train)
             bevs.append(bev[None])   # add pair-batch axis (1, H, W, C)
             covs.append(cov)
             feats.append(f)

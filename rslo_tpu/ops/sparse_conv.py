@@ -39,11 +39,16 @@ class SparseLevel(NamedTuple):
             the sentinel ``nz*ny*nx``.
     mask:   (V,) bool validity.
     shape:  static (nz, ny, nx) of this level's dense grid.
+    slot_map: optional (nz*ny*nx + 1,) int32 dense id -> slot+1 table
+            (0 = inactive).  When present, neighbor lookup is one gather
+            instead of a 27-way binary search — ~5x faster on TPU where
+            searchsorted costs ~5 ms per 40k-query tap.
     """
     coords: jax.Array
     ids: jax.Array
     mask: jax.Array
     shape: tuple
+    slot_map: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
@@ -94,30 +99,41 @@ def _kernel_offsets(kernel: Sequence[int]) -> np.ndarray:
 
 def _lookup(level: SparseLevel, query_ids: jax.Array,
             query_valid: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Binary-search query ids in a sorted level. Returns (idx, found)."""
-    q = jnp.where(query_valid, query_ids, level.sentinel)
-    idx = jnp.searchsorted(level.ids, q).astype(jnp.int32)
-    idx = jnp.minimum(idx, level.capacity - 1)
-    found = (level.ids[idx] == q) & query_valid & (q < level.sentinel)
-    return idx, found
+    """Find query ids in a sorted level.  Query arrays may be any shape
+    (all taps batched into one call — one big lookup is ~10x cheaper than
+    27 small ones on TPU).  Returns (idx, found) of the query shape.
+
+    Uses the level's dense slot_map when present (single gather);
+    otherwise searchsorted with method='sort' (the default 'scan' method
+    costs ~10x more at this size)."""
+    shape = query_ids.shape
+    q = jnp.where(query_valid, query_ids, level.sentinel).reshape(-1)
+    if level.slot_map is not None:
+        slot1 = level.slot_map[jnp.minimum(q, level.sentinel)]
+        idx = jnp.maximum(slot1 - 1, 0).astype(jnp.int32)
+        found = (slot1 > 0) & query_valid.reshape(-1)
+    else:
+        idx = jnp.searchsorted(level.ids, q, method="sort").astype(
+            jnp.int32)
+        idx = jnp.minimum(idx, level.capacity - 1)
+        found = (level.ids[idx] == q) & query_valid.reshape(-1) & \
+            (q < level.sentinel)
+    return idx.reshape(shape), found.reshape(shape)
 
 
 def build_submanifold_index(level: SparseLevel,
                             kernel=(3, 3, 3)) -> ConvIndex:
     """Rulebook for submanifold conv: out sites == in sites, neighbors
-    looked up at coord + offset - k//2."""
+    looked up at coord + offset - k//2.  All taps in one lookup."""
     offs = _kernel_offsets(kernel)
     half = np.array([k // 2 for k in kernel])
     shp = np.array(level.shape)
-    idxs, valids = [], []
-    for o in offs:
-        nb = level.coords + jnp.asarray(o - half, jnp.int32)
-        inb = jnp.all((nb >= 0) & (nb < jnp.asarray(shp)), axis=-1)
-        q = linearize(nb, level.shape)
-        idx, found = _lookup(level, q, inb & level.mask)
-        idxs.append(idx)
-        valids.append(found)
-    return ConvIndex(jnp.stack(idxs, -1), jnp.stack(valids, -1))
+    # (V, K, 3) neighbor coords
+    nb = level.coords[:, None, :] + jnp.asarray(offs - half, jnp.int32)
+    inb = jnp.all((nb >= 0) & (nb < jnp.asarray(shp)), axis=-1)
+    q = linearize(nb, level.shape)
+    idx, found = _lookup(level, q, inb & level.mask[:, None])
+    return ConvIndex(idx, found)
 
 
 def downsample_level(level: SparseLevel, kernel, stride, padding,
@@ -188,16 +204,12 @@ def build_conv_index(in_level: SparseLevel, out_level: SparseLevel,
     stride = np.asarray(stride)
     padding = np.asarray(padding)
     shp = np.asarray(in_level.shape)
-    idxs, valids = [], []
-    for o in offs:
-        src = out_level.coords * jnp.asarray(stride, jnp.int32) + \
-            jnp.asarray(o - padding, jnp.int32)
-        inb = jnp.all((src >= 0) & (src < jnp.asarray(shp)), axis=-1)
-        q = linearize(src, in_level.shape)
-        idx, found = _lookup(in_level, q, inb & out_level.mask)
-        idxs.append(idx)
-        valids.append(found)
-    return ConvIndex(jnp.stack(idxs, -1), jnp.stack(valids, -1))
+    src = out_level.coords[:, None, :] * jnp.asarray(stride, jnp.int32) \
+        + jnp.asarray(offs - padding, jnp.int32)          # (V, K, 3)
+    inb = jnp.all((src >= 0) & (src < jnp.asarray(shp)), axis=-1)
+    q = linearize(src, in_level.shape)
+    idx, found = _lookup(in_level, q, inb & out_level.mask[:, None])
+    return ConvIndex(idx, found)
 
 
 def build_inverse_index(coarse: SparseLevel, fine: SparseLevel,
@@ -209,18 +221,14 @@ def build_inverse_index(coarse: SparseLevel, fine: SparseLevel,
     stride = np.asarray(stride)
     padding = np.asarray(padding)
     shp = np.asarray(coarse.shape)
-    idxs, valids = [], []
-    for o in offs:
-        num = fine.coords + jnp.asarray(padding - o, jnp.int32)
-        divisible = jnp.all(num % jnp.asarray(stride, jnp.int32) == 0,
-                            axis=-1)
-        c = num // jnp.asarray(stride, jnp.int32)
-        inb = jnp.all((c >= 0) & (c < jnp.asarray(shp)), axis=-1)
-        q = linearize(c, coarse.shape)
-        idx, found = _lookup(coarse, q, divisible & inb & fine.mask)
-        idxs.append(idx)
-        valids.append(found)
-    return ConvIndex(jnp.stack(idxs, -1), jnp.stack(valids, -1))
+    num = fine.coords[:, None, :] + jnp.asarray(padding - offs, jnp.int32)
+    divisible = jnp.all(num % jnp.asarray(stride, jnp.int32) == 0, axis=-1)
+    c = num // jnp.asarray(stride, jnp.int32)
+    inb = jnp.all((c >= 0) & (c < jnp.asarray(shp)), axis=-1)
+    q = linearize(c, coarse.shape)
+    idx, found = _lookup(coarse, q,
+                         divisible & inb & fine.mask[:, None])
+    return ConvIndex(idx, found)
 
 
 def sparse_conv_apply(features: jax.Array, rulebook: ConvIndex,

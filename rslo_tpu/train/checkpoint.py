@@ -26,6 +26,8 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True))
 
     def save(self, step: int, state: Any, force: bool = False):
+        if step in (self.mgr.all_steps() or []):
+            return  # idempotent: resuming at a step that was just saved
         self.mgr.save(step, args=ocp.args.StandardSave(state), force=force)
         self.mgr.wait_until_finished()
 

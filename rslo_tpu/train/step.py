@@ -23,6 +23,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config.schema import PipelineCfg
+from ..data.prepare import prepare_example, voxelizer_config
 from ..losses.objective import compute_objective
 from .state import TrainState
 
@@ -30,13 +31,15 @@ from .state import TrainState
 def make_train_step(net, tx: optax.GradientTransformation,
                     cfg: PipelineCfg, mesh: Mesh, *, warmup: bool,
                     self_supervised: bool = True):
-    """Returns a jitted function (state, example) -> (state, metrics).
+    """Returns a jitted function (state, batch) -> (state, metrics).
 
-    ``example`` carries a leading device-batch axis sharded over the mesh
+    ``batch`` carries a leading device-batch axis sharded over the mesh
     "data" axis; each device processes one sample (reference semantics:
-    per-GPU batch_size 1, middle.py:221).
+    per-GPU batch_size 1, middle.py:221).  Batches hold RAW padded
+    points — voxelization runs on device inside this step.
     """
     pc_range = cfg.voxelizer.point_cloud_range
+    vcfg = voxelizer_config(cfg)
 
     def loss_fn(trainable, batch_stats, example):
         variables = {"params": trainable["params"],
@@ -48,9 +51,15 @@ def make_train_step(net, tx: optax.GradientTransformation,
                                 self_supervised=self_supervised)
         return out.total, (out.aux, mutated["batch_stats"])
 
-    def device_step(state: TrainState, example):
+    def device_step(state: TrainState, batch):
         # strip the leading per-device batch axis of size 1
-        example = jax.tree.map(lambda x: x[0], example)
+        batch = jax.tree.map(lambda x: x[0], batch)
+        if "voxels" in batch:
+            example = batch
+        else:
+            example = prepare_example(batch["points"],
+                                      batch["point_mask"], vcfg)
+            example["odometry"] = batch["odometry"]
         trainable = {"params": state.params, "alphas": state.alphas}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (aux, new_stats)), grads = grad_fn(
@@ -87,8 +96,15 @@ def make_eval_step(net, cfg: PipelineCfg, mesh: Mesh):
     """(state, example) -> (P, 7) odometry predictions per device sample,
     gathered across the mesh (the analog of evaluate.py:410-420)."""
 
-    def device_eval(params, batch_stats, example):
-        example = jax.tree.map(lambda x: x[0], example)
+    vcfg = voxelizer_config(cfg)
+
+    def device_eval(params, batch_stats, batch):
+        batch = jax.tree.map(lambda x: x[0], batch)
+        if "voxels" in batch:
+            example = batch
+        else:
+            example = prepare_example(batch["points"],
+                                      batch["point_mask"], vcfg)
         variables = {"params": params, "batch_stats": batch_stats}
         preds = net.apply(variables, example, train=False)
         odom = preds["odometry"].astype(jnp.float32)
