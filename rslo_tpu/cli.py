@@ -36,6 +36,11 @@ def _synthetic_dataset(cfg, split: str, n_windows: int = 64):
     from .geometry import np_compose_pose
 
     L = cfg.data.seq_length if split == "train" else 2
+    pr = cfg.voxelizer.point_cloud_range
+    # scale the synthetic scene to the configured range so tiny test
+    # configs still get meaningful voxel occupancy
+    scale = min(abs(pr[0]), abs(pr[1]), pr[3], pr[4]) / 60.0
+    zscale = min(abs(pr[2]), pr[5]) / 3.0
 
     class SynthDataset:
         def __len__(self):
@@ -44,6 +49,14 @@ def _synthetic_dataset(cfg, split: str, n_windows: int = 64):
         def __getitem__(self, idx):
             frames, gts = synth_sequence(seed=idx, n_frames=L,
                                          n_points=cfg.data.max_points)
+            if scale < 0.99:
+                frames = [f.copy() for f in frames]
+                for f in frames:
+                    f[:, :2] *= scale
+                    f[:, 2] = (f[:, 2] + 1.7) * zscale - 0.5 * zscale
+                gts = gts.copy()
+                gts[:, :2] *= scale
+                gts[:, 2] *= zscale
             poses = [np.array([0, 0, 0, 1, 0, 0, 0], np.float32)]
             for g in gts:
                 poses.append(np_compose_pose(poses[-1], g))
@@ -109,7 +122,28 @@ def cmd_train(args):
         for b in loader:
             yield b
 
-    state = trainer.fit(batches(), state, max_steps=args.steps)
+    # periodic eval during training (reference eval_once,
+    # train_hdf5.py:790-807)
+    if args.synthetic:
+        eval_ds = _synthetic_dataset(cfg, "val", n_windows=16)
+    else:
+        try:
+            eval_ds = KittiWindowDataset(cfg.data, "val", seq_length=2)
+        except Exception:
+            eval_ds = None
+
+    def eval_hook(tr, st, step_i):
+        if eval_ds is None:
+            return
+        from .eval.runner import run_eval
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        res = run_eval(tr.net, variables, eval_ds, cfg, mesh,
+                       tr.eval_fn(), tr.logger, max_windows=256)
+        if "avg" in res:
+            tr.logger.log_metrics({"eval": res["avg"]}, step_i)
+
+    state = trainer.fit(batches(), state, eval_hook=eval_hook,
+                        max_steps=args.steps)
     trainer.logger.log_text(f"done at step {int(state.step)}")
 
 
@@ -117,7 +151,7 @@ def cmd_evaluate(args):
     import jax
     import jax.numpy as jnp
     from .data.dataset import KittiWindowDataset
-    from .eval.runner import run_eval
+    from .eval.runner import run_eval, run_eval_refined
     from .train.distributed import initialize_multihost, is_rank0
     from .train.loop import Trainer, data_mesh
 
@@ -125,10 +159,14 @@ def cmd_evaluate(args):
     cfg = _load_cfg(args.config)
     mesh = data_mesh()
     trainer = Trainer(cfg, args.model_dir, mesh, rank0=is_rank0())
+    seq_len = 3 if args.refine else 2
     if args.synthetic:
-        dataset = _synthetic_dataset(cfg, "val", n_windows=32)
+        cfg2 = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                    seq_length=seq_len))
+        dataset = _synthetic_dataset(cfg2, "train" if args.refine
+                                     else "val", n_windows=32)
     else:
-        dataset = KittiWindowDataset(cfg.data, "val", seq_length=2)
+        dataset = KittiWindowDataset(cfg.data, "val", seq_length=seq_len)
     sample = dataset[0]
     from .data.loader import collate
     from .data.prepare import prepare_example, voxelizer_config
@@ -139,9 +177,10 @@ def cmd_evaluate(args):
     ex0["odometry"] = jnp.asarray(b0["odometry"][0])
     state = trainer.init_state(ex0)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    results = run_eval(trainer.net, variables, dataset, cfg, mesh,
-                       trainer.eval_fn(), trainer.logger,
-                       max_windows=args.max_windows)
+    runner = run_eval_refined if args.refine else run_eval
+    results = runner(trainer.net, variables, dataset, cfg, mesh,
+                     trainer.eval_fn(), trainer.logger,
+                     max_windows=args.max_windows)
     print(json.dumps(results, indent=2, default=str))
 
 
@@ -176,6 +215,7 @@ def main(argv=None):
     e.add_argument("--model_dir", required=True)
     e.add_argument("--synthetic", action="store_true")
     e.add_argument("--max_windows", type=int, default=None)
+    e.add_argument("--refine", action="store_true")
     e.set_defaults(fn=cmd_evaluate)
 
     b = sub.add_parser("bench")

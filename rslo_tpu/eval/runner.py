@@ -82,3 +82,87 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
         logger.log_text(f"eval: {n} windows in {elapsed:.1f}s "
                         f"({fps:.2f}/s)")
     return results
+
+
+def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
+                     eval_step, logger=None,
+                     max_windows: int | None = None,
+                     window: int = 64, overlap: int = 16,
+                     iters: int = 8) -> Dict[str, dict]:
+    """Multi-frame-window eval + pose-graph refinement (driver config #4:
+    the refine=True path).  Needs an eval split with seq_length >= 3 so
+    windows contribute redundant (i, i+2) edges."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..pgo.refine import fuse_window_odometry, window_pairs_to_edges
+
+    D = mesh.devices.size
+    n = len(dataset) if max_windows is None else min(len(dataset),
+                                                    max_windows)
+    sample0 = dataset[0]
+    L = len(sample0["points"])
+    n_pairs = L * (L - 1) // 2
+    offsets = [(i, j) for i in range(L) for j in range(i + 1, L)]
+
+    preds = np.zeros((n, n_pairs, 7), np.float32)
+    gts = np.zeros((n, n_pairs, 7), np.float32)
+    seq_ids = np.zeros((n,), np.int64)
+    starts = np.zeros((n,), np.int64)
+
+    t0 = time.time()
+    sharding = NamedSharding(mesh, P("data"))
+    i = 0
+    while i < n:
+        idxs = [min(i + d, n - 1) for d in range(D)]
+        samples = [dataset[k] for k in idxs]
+        batch = collate(samples, cfg.data)
+        batch.pop("meta")
+        batch = jax.device_put(jax.tree.map(jnp.asarray, batch), sharding)
+        out = np.asarray(eval_step(variables["params"],
+                                   variables.get("batch_stats", {}),
+                                   batch))
+        for d in range(D):
+            k = i + d
+            if k >= n:
+                break
+            preds[k] = out[d]
+            gts[k] = samples[d]["odometry"]
+            seq_ids[k] = samples[d]["seq"]
+            starts[k] = samples[d]["frames"][0]
+        i += D
+    elapsed = time.time() - t0
+
+    results: Dict[str, dict] = {"_meta": {"windows": n,
+                                          "elapsed_s": elapsed,
+                                          "refined": True}}
+    for s in np.unique(seq_ids):
+        m = seq_ids == s
+        w_starts = starts[m]
+        base = w_starts.min()
+        w_starts = (w_starts - base).tolist()
+        n_poses = max(w_starts) + L
+        E, M, W = window_pairs_to_edges(w_starts, offsets, preds[m])
+        refined = fuse_window_odometry(E, M, n_poses, W, window=window,
+                                       overlap=overlap, iters=iters)
+        # unrefined chain + GT trajectory from consecutive edges
+        Eg, Mg, _ = window_pairs_to_edges(w_starts, offsets, gts[m])
+        lookup = {tuple(e): k for k, e in enumerate(Eg)}
+        gt_odoms = np.zeros((n_poses, 7), np.float32)
+        gt_odoms[:, 3] = 1.0
+        chain = gt_odoms.copy()
+        lookup_p = {tuple(e): k for k, e in enumerate(E)}
+        for f in range(n_poses - 1):
+            kgt = lookup.get((f, f + 1))
+            kpr = lookup_p.get((f, f + 1))
+            if kgt is not None:
+                gt_odoms[f + 1] = Mg[kgt]
+            if kpr is not None:
+                chain[f + 1] = M[kpr]
+        gt_abs = odom_to_abs_pose(gt_odoms)
+        chain_abs = odom_to_abs_pose(chain)
+        results[f"seq_{int(s):02d}"] = {
+            "refined": evaluate_sequence(refined, gt_abs),
+            "chained": evaluate_sequence(chain_abs, gt_abs),
+        }
+    if logger is not None:
+        logger.log_text(f"refined eval: {n} windows in {elapsed:.1f}s")
+    return results

@@ -69,20 +69,49 @@ class MaskConv(nn.Module):
 class Norm(nn.Module):
     """BatchNorm with optional cross-replica stats (SyncBN analog).
 
-    bn_type: "none" | "bn" | "sync_bn".  In sync mode, batch stats are
-    averaged over the mesh "data" axis when inside shard_map/pmap.
+    bn_type: "none" | "bn" | "sync_bn".  The sync path psums the raw
+    moments over the mesh "data" axis explicitly — flax's
+    BatchNorm(axis_name=...) produces NaN gradients under shard_map on
+    this stack, so the statistics are hand-rolled.
     """
     bn_type: str = "sync_bn"
+    momentum: float = 0.99
+    eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool):
         if self.bn_type == "none":
             return x
-        axis = "data" if self.bn_type == "sync_bn" else None
-        return nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            axis_name=axis, use_fast_variance=False,
-            dtype=x.dtype, param_dtype=jnp.float32)(x)
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mu = jnp.mean(xf, axis=axes)
+            m2 = jnp.mean(xf * xf, axis=axes)
+            if self.bn_type == "sync_bn":
+                try:
+                    mu = jax.lax.pmean(mu, "data")
+                    m2 = jax.lax.pmean(m2, "data")
+                except NameError:
+                    pass  # outside a mesh: local stats
+            var = jnp.maximum(m2 - mu * mu, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1 - self.momentum) * mu)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1 - self.momentum) * var)
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        y = (x.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -204,6 +233,28 @@ class BEVOdomNet(nn.Module):
                              bias_init=identity_pose_bias)(h)
                 pm = py_masks[i]
                 py_preds.append((py * (pm > 0).astype(py.dtype), pm))
+
+        if not cfg.dense_predict:
+            # FC fallback head (odom_pred_base.py:284-290): pool the
+            # encoder bottleneck, two dense layers -> direct [t, q].
+            h = jnp.mean(skips[-1], axis=(1, 2))
+            h = nn.relu(nn.Dense(1024)(h))
+            h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+            odom = nn.Dense(7, bias_init=identity_pose_bias)(h)
+            t, q = odom[:, :3], odom[:, 3:]
+            if cfg.odom_format == "r(x+t)":
+                from ..geometry import rotate_vec_by_q
+                t = rotate_vec_by_q(t, qnormalize(q))
+            odom = jnp.concatenate([t, qnormalize(q)], axis=-1)
+            dummy_map = jnp.zeros(x.shape[:3] + (7,), jnp.float32)
+            return {
+                "odometry": odom.astype(jnp.float32),
+                "tq_map": dummy_map,
+                "t_conf": jnp.ones(x.shape[:3] + (1,), jnp.float32),
+                "q_conf": jnp.ones(x.shape[:3] + (1,), jnp.float32),
+                "pyramid": [],
+                "input_mask": input_mask,
+            }
 
         x_tail = x
         # 7-channel local tq map head

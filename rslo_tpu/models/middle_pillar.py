@@ -76,7 +76,7 @@ class PillarMiddleCov(nn.Module):
         feat_sum = feat_sum.at[py, px].add(
             jnp.where(vmask[:, None], voxel_features, 0.0))
         cnt = jnp.zeros((ny + 1, nx, 1), jnp.float32)
-        cnt = cnt.at[py, px].add(vmask.astype(jnp.float32))
+        cnt = cnt.at[py, px].add(vmask.astype(jnp.float32)[:, None])
         feat_mean = feat_sum / jnp.maximum(cnt, 1.0)
         # mean z position of occupied voxels per pillar (normalized)
         zsum = jnp.zeros((ny + 1, nx, 1), jnp.float32)

@@ -57,6 +57,35 @@ def onecycle_momentum(cfg: OptimizerCfg, total_steps: int) -> optax.Schedule:
     return sched
 
 
+def exponential_decay_warmup(lr_init: float, decay_steps: int,
+                             decay_rate: float, warmup_steps: int = 0,
+                             staircase: bool = True) -> optax.Schedule:
+    """Exponential decay with linear warmup (the reference's
+    ExponentialDecayWarmup, learning_schedules_fastai.py:132-176)."""
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        p = step / decay_steps
+        if staircase:
+            p = jnp.floor(p)
+        lr = lr_init * (decay_rate ** p)
+        if warmup_steps > 0:
+            w = jnp.clip(step / warmup_steps, 0.0, 1.0)
+            lr = lr * w
+        return lr
+    return sched
+
+
+def manual_stepping(boundaries, rates) -> optax.Schedule:
+    """Piecewise-constant lr (ManualStepping)."""
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        lr = jnp.float32(rates[0])
+        for b, r in zip(boundaries, rates[1:]):
+            lr = jnp.where(step >= b, jnp.float32(r), lr)
+        return lr
+    return sched
+
+
 def build_optimizer(cfg: OptimizerCfg, train_cfg: TrainCfg
                     ) -> optax.GradientTransformation:
     lr = onecycle_lr(cfg, train_cfg.steps)
