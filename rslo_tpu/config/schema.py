@@ -69,6 +69,7 @@ class OdomCfg:
     dropout: float = 0.1
     odom_format: str = "rx+t"        # 'rx+t' | 'r(x+t)'
     first_conv_groups: int = 2       # pair-concat input is grouped
+    compute_dtype: str = "bf16"      # bf16 | fp32 (heads stay fp32)
 
 
 @dataclass(frozen=True)

@@ -54,12 +54,14 @@ class MaskConv(nn.Module):
     stride: int = 1
     use_bias: bool = False
     groups: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask):
         y = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=self.use_bias,
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    param_dtype=jnp.float32,
                     feature_group_count=self.groups)(x)
         m = jax.lax.stop_gradient(
             max_pool_mask(mask, self.kernel, self.stride))
@@ -120,18 +122,20 @@ class BasicBlock(nn.Module):
     stride: int = 1
     bn_type: str = "sync_bn"
     groups: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         y, m = MaskConv(self.features, 3, self.stride,
-                        groups=self.groups)(x, mask)
+                        groups=self.groups, dtype=self.dtype)(x, mask)
         y = Norm(self.bn_type)(y, train)
         y = nn.relu(y)
-        y, m = MaskConv(self.features, 3, 1)(y, m)
+        y, m = MaskConv(self.features, 3, 1, dtype=self.dtype)(y, m)
         y = Norm(self.bn_type)(y, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             x, mask = MaskConv(self.features, 1, self.stride,
-                               groups=self.groups)(x, mask)
+                               groups=self.groups, dtype=self.dtype)(
+                                   x, mask)
             x = Norm(self.bn_type)(x, train)
         out = nn.relu(x + y)
         return out, (mask + m) * 0.5
@@ -141,11 +145,13 @@ class ConvBNRelu(nn.Module):
     features: int
     kernel: int = 3
     bn_type: str = "sync_bn"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    padding="SAME")(x)
+                    padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
         x = Norm(self.bn_type)(x, train)
         return nn.relu(x)
 
@@ -156,14 +162,16 @@ class ConfidenceHead(nn.Module):
     (rslo/layers/confidence.py:5-38)."""
     bn_type: str = "sync_bn"
     conf_type: str = "softmax"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, extra_mask, train: bool, temperature: float = 1.0):
-        h = ConvBNRelu(64, 3, self.bn_type)(x, train)
-        h = ConvBNRelu(32, 3, self.bn_type)(h, train)
-        logit = nn.Conv(1, (1, 1))(h)
+        h = ConvBNRelu(64, 3, self.bn_type, dtype=self.dtype)(x, train)
+        h = ConvBNRelu(32, 3, self.bn_type, dtype=self.dtype)(h, train)
+        logit = nn.Conv(1, (1, 1))(h).astype(jnp.float32)
         if self.conf_type == "linear":
-            return (nn.elu(logit) + 1 + 1e-12) * (extra_mask + 1e-12)
+            return (nn.elu(logit) + 1 + 1e-12) * \
+                (extra_mask.astype(jnp.float32) + 1e-12)
         B, H, W, _ = logit.shape
         masked = jnp.where(extra_mask > 0, logit, -1000.0)
         flat = masked.reshape(B, H * W) / temperature
@@ -196,20 +204,23 @@ class BEVOdomNet(nn.Module):
     def __call__(self, x_pair, train: bool):
         """x_pair: (P, H, W, 2*C) concatenated frame-pair features."""
         cfg = self.cfg
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32
         input_mask = jax.lax.stop_gradient(
             (jnp.sum(jnp.abs(x_pair), axis=-1, keepdims=True) != 0)
-            .astype(x_pair.dtype))
+            .astype(dt))
 
-        x, m = x_pair, input_mask
+        x, m = x_pair.astype(dt), input_mask
         skips = []
         for i, (n_blocks, stride, feats) in enumerate(zip(
                 cfg.layer_nums, cfg.layer_strides, cfg.num_filters)):
             groups = cfg.first_conv_groups if i == 0 else 1
-            x, m = BasicBlock(feats, stride, cfg.bn_type, groups)(
-                x, m, train)
+            x, m = BasicBlock(feats, stride, cfg.bn_type, groups,
+                              dtype=dt)(x, m, train)
             for _ in range(n_blocks - 1):
-                x, m = BasicBlock(feats, 1, cfg.bn_type)(x, m, train)
-            skips.append(ConvBNRelu(feats, 3, cfg.bn_type)(x, train))
+                x, m = BasicBlock(feats, 1, cfg.bn_type, dtype=dt)(
+                    x, m, train)
+            skips.append(ConvBNRelu(feats, 3, cfg.bn_type, dtype=dt)(
+                x, train))
 
         # pyramid masks at decoder resolutions (coarse -> fine)
         py_masks = []
@@ -226,12 +237,14 @@ class BEVOdomNet(nn.Module):
             B, H, W, C = x.shape
             x = jax.image.resize(x, (B, H * stride, W * stride, C),
                                  method="nearest")
-            x = ConvBNRelu(feats, 3, cfg.bn_type)(x, train)
+            x = ConvBNRelu(feats, 3, cfg.bn_type, dtype=dt)(x, train)
             if cfg.use_deep_supervision and i < len(cfg.upsample_strides) - 1:
-                h = ConvBNRelu(feats // 2, 3, cfg.bn_type)(x, train)
+                h = ConvBNRelu(feats // 2, 3, cfg.bn_type, dtype=dt)(
+                    x, train)
                 py = nn.Conv(7, (1, 1),
-                             bias_init=identity_pose_bias)(h)
-                pm = py_masks[i]
+                             bias_init=identity_pose_bias)(
+                                 h).astype(jnp.float32)
+                pm = py_masks[i].astype(jnp.float32)
                 py_preds.append((py * (pm > 0).astype(py.dtype), pm))
 
         if not cfg.dense_predict:
@@ -258,16 +271,16 @@ class BEVOdomNet(nn.Module):
 
         x_tail = x
         # 7-channel local tq map head
-        h = ConvBNRelu(64, 3, cfg.bn_type)(x_tail, train)
-        h = ConvBNRelu(32, 3, cfg.bn_type)(h, train)
+        h = ConvBNRelu(64, 3, cfg.bn_type, dtype=dt)(x_tail, train)
+        h = ConvBNRelu(32, 3, cfg.bn_type, dtype=dt)(h, train)
         tq_map = nn.Conv(7, (1, 1), bias_init=identity_pose_bias)(
             h).astype(jnp.float32)
         q = tq_map[..., 3:]
         q = q / jnp.sqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-16)
         tq_map = jnp.concatenate([tq_map[..., :3], q], axis=-1)
 
-        t_conf_head = ConfidenceHead(cfg.bn_type, cfg.conf_type)
-        q_conf_head = ConfidenceHead(cfg.bn_type, cfg.conf_type)
+        t_conf_head = ConfidenceHead(cfg.bn_type, cfg.conf_type, dt)
+        q_conf_head = ConfidenceHead(cfg.bn_type, cfg.conf_type, dt)
         t_conf = t_conf_head(x_tail, input_mask, train)
         q_conf = q_conf_head(x_tail, input_mask, train)
 
