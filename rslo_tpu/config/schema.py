@@ -47,6 +47,7 @@ class MiddleCfg:
     level_capacities: Tuple[int, ...] = (40960, 40960, 20480, 10240)
     channels: Tuple[int, ...] = (16, 32, 64, 64)
     cov_channels: int = 7
+    remat: bool = True               # rematerialize the middle in backward
 
 
 @dataclass(frozen=True)

@@ -21,8 +21,8 @@ from .kitti_odometry import evaluate_sequence
 
 
 def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
-             eval_step, logger=None, max_windows: int | None = None
-             ) -> Dict[str, dict]:
+             eval_step, logger=None, max_windows: int | None = None,
+             plot_dir: str | None = None) -> Dict[str, dict]:
     """eval_step: jitted (params, batch_stats, example_batch) ->
     (D, P, 7).  Iterates the ordered eval split; returns per-sequence
     metric dicts + aggregate."""
@@ -70,6 +70,10 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
         pred_abs = odom_to_abs_pose(pred_odoms)
         gt_abs = odom_to_abs_pose(gt_odoms)
         results[f"seq_{int(s):02d}"] = evaluate_sequence(pred_abs, gt_abs)
+        if plot_dir is not None:
+            from .trajectory import draw_trajectory
+            draw_trajectory(pred_abs, gt_abs, title=f"seq {int(s):02d}",
+                            save_path=f"{plot_dir}/traj_{int(s):02d}.png")
     seq_keys = [k for k in results if k.startswith("seq_")]
     if seq_keys:
         results["avg"] = {

@@ -60,18 +60,27 @@ def compute_objective(preds: Dict[str, Any], example: Dict[str, Any],
         covs = preds["voxel_covs"]        # list[L] (V, 7)
         masks = preds["voxel_masks"]      # list[L] (V,)
 
+        V = feats[0].shape[0]
+        stride = max(1, -(-V // cfg.max_loss_points))  # ceil
+
+        def sub(x):
+            """Strided static subsample to <= max_loss_points rows
+            (sorted-by-id voxels interleave spatially, so striding is a
+            roughly uniform spatial subsample — the analog of the
+            reference's pred_downsample_ratio)."""
+            return x[::stride][:cfg.max_loss_points]
+
         def pts_of(t):
-            f = feats[t]
+            f = sub(feats[t])
             if f.shape[1] > 6:
                 return jnp.concatenate([f[:, 0:3], f[:, 4:7]], axis=-1)
             return f[:, 0:6]
 
         pairs = _pair_indices(L)
-        n_rep = Ppairs // len(pairs) if len(pairs) else 1
         src_list, tgt_list = [], []
         for (i, j) in pairs:
-            src_list.append((pts_of(i), masks[i], covs[i]))
-            tgt_list.append((pts_of(j), masks[j], covs[j]))
+            src_list.append((pts_of(i), sub(masks[i]), sub(covs[i])))
+            tgt_list.append((pts_of(j), sub(masks[j]), sub(covs[j])))
 
         src_pts = jnp.stack([s[0] for s in src_list])       # (P, V, 6)
         src_mask = jnp.stack([s[1] for s in src_list])

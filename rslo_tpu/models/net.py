@@ -29,10 +29,16 @@ class OdomNet(nn.Module):
     def setup(self):
         if self.cfg.middle.name == "PillarMiddleCov":
             from .middle_pillar import PillarMiddleCov
-            self.middle = PillarMiddleCov(self.cfg.middle,
-                                          self.sparse_shape)
+            cls = PillarMiddleCov
+            static = (4,)  # train flag (arg 0 is the module)
+            if self.cfg.middle.remat:
+                cls = nn.remat(cls, static_argnums=static)
+            self.middle = cls(self.cfg.middle, self.sparse_shape)
         else:
-            self.middle = SparseMiddleCov(self.cfg.middle)
+            cls = SparseMiddleCov
+            if self.cfg.middle.remat:
+                cls = nn.remat(cls, static_argnums=(3,))
+            self.middle = cls(self.cfg.middle)
         self.bev_net = BEVOdomNet(self.cfg.odom,
                                   self.cfg.voxelizer.point_cloud_range)
 

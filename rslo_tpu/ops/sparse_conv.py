@@ -29,9 +29,11 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 
-class SparseLevel(NamedTuple):
+@struct.dataclass
+class SparseLevel:
     """A fixed-capacity set of active voxels at one resolution.
 
     coords: (V, 3) int32 (z, y, x); padding rows are -1.
@@ -47,7 +49,7 @@ class SparseLevel(NamedTuple):
     coords: jax.Array
     ids: jax.Array
     mask: jax.Array
-    shape: tuple
+    shape: tuple = struct.field(pytree_node=False)
     slot_map: jax.Array | None = None
 
     @property

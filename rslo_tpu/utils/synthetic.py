@@ -42,7 +42,11 @@ def synth_cloud(rng: np.random.Generator, n_points: int = 100000,
     normals = np.concatenate([gn, sn])
     inten = rng.uniform(0, 1, (len(xyz), 1))
     out = np.concatenate([xyz, inten, normals], axis=1).astype(np.float32)
-    return out[rng.permutation(len(out))][:n_points]
+    out = out[rng.permutation(len(out))]
+    if len(out) < n_points:  # wall-count rounding: top up by repetition
+        out = np.concatenate(
+            [out, out[: n_points - len(out)]])
+    return out[:n_points]
 
 
 def transform_cloud(cloud: np.ndarray, tq: np.ndarray) -> np.ndarray:
