@@ -51,3 +51,26 @@ def simple_voxel(voxels: jax.Array, num_points: jax.Array,
                  num_input_features: int = 4) -> jax.Array:
     """Plain per-voxel mean (voxel_encoder.py:214-233)."""
     return _voxel_mean(voxels, num_points, num_input_features)
+
+
+@register_vfe("SimpleVoxelXYZINormalNormalGT")
+def simple_voxel_xyzi_normal_gt(voxels: jax.Array, num_points: jax.Array,
+                                num_input_features: int = 10):
+    """Cross-normal variant (voxel_encoder.py:282-312): columns 4:7 are
+    the NETWORK-input normals, 7:10 are supervision normals.  Returns
+    (features (V, 7), normal_gt (V, 3))."""
+    m = _voxel_mean(voxels, num_points, num_input_features)
+    net_in = simple_voxel_xyzi_normal(voxels, num_points, 7)
+    gt = m[:, 7:10]
+    gt = gt / jnp.sqrt(jnp.sum(gt * gt, -1, keepdims=True) + 1e-16)
+    return net_in, gt
+
+
+@register_vfe("SimpleVoxelRadius")
+def simple_voxel_radius(voxels: jax.Array, num_points: jax.Array,
+                        num_input_features: int = 4) -> jax.Array:
+    """Mean with the xy radius replacing x, y
+    (voxel_encoder.py:377-405): [r, z, intensity, ...]."""
+    m = _voxel_mean(voxels, num_points, num_input_features)
+    r = jnp.sqrt(jnp.sum(m[:, :2] ** 2, axis=-1, keepdims=True) + 1e-16)
+    return jnp.concatenate([r, m[:, 2:num_input_features]], axis=-1)

@@ -1,0 +1,56 @@
+"""Small layers + extra VFE variants."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rslo_tpu.models.layers import (Dropout2dGivenMask, elu_plus,
+                                    mask_propagate, trunc_exp)
+from rslo_tpu.models.vfe import (simple_voxel_radius,
+                                 simple_voxel_xyzi_normal_gt)
+
+
+def test_elu_plus_positive(rng):
+    x = jnp.asarray(rng.normal(size=(32,)) * 5)
+    assert np.all(np.asarray(elu_plus(x)) > 0)
+
+
+def test_trunc_exp_bounded():
+    assert np.isfinite(float(trunc_exp(jnp.asarray(1000.0))))
+
+
+def test_dropout_given_mask_replays(rng):
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    mod = Dropout2dGivenMask(rate=0.5)
+    v = mod.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, x,
+                 deterministic=False)
+    y1, m = mod.apply(v, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    y2, m2 = mod.apply(v, x, mask=m, deterministic=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m2))
+
+
+def test_vfe_radius(rng):
+    vox = jnp.asarray(rng.normal(size=(8, 4, 4)).astype(np.float32))
+    num = jnp.full((8,), 4, jnp.int32)
+    out = np.asarray(simple_voxel_radius(vox, num, 4))
+    m = np.asarray(vox).mean(axis=1)
+    np.testing.assert_allclose(out[:, 0],
+                               np.linalg.norm(m[:, :2], axis=1), atol=1e-4)
+
+
+def test_vfe_normal_gt(rng):
+    vox = jnp.asarray(rng.normal(size=(8, 4, 10)).astype(np.float32))
+    num = jnp.full((8,), 4, jnp.int32)
+    feats, gt = simple_voxel_xyzi_normal_gt(vox, num, 10)
+    assert feats.shape == (8, 7)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(gt), axis=1),
+                               1.0, atol=1e-4)
+
+
+def test_mask_propagate_stride():
+    m = jnp.zeros((1, 8, 8, 1)).at[0, 3, 3, 0].set(1.0)
+    out = np.asarray(mask_propagate(m, 3, 2))
+    assert out.shape == (1, 4, 4, 1)
+    assert out[0, 1, 1, 0] == 1.0
