@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import quat_to_matrix, weighted_kabsch
-from ..ops.chamfer import nn_search
+from ..ops.chamfer import nn_search_auto as nn_search
 
 BIG = 1e30
 

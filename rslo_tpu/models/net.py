@@ -60,12 +60,17 @@ class OdomNet(nn.Module):
         vmask = example["voxel_mask"]
         L = voxels.shape[0]
 
+        from ..config.registry import get as registry_get
+        vfe_fn = registry_get("vfe", self.cfg.vfe.name)
         pillar_mode = self.cfg.middle.name == "PillarMiddleCov"
         bevs, covs, feats = [], [], []
+        normal_gts = []
         for t in range(L):
-            f = simple_voxel_xyzi_normal(
-                voxels[t], num_points[t],
-                self.cfg.vfe.num_input_features)
+            f = vfe_fn(voxels[t], num_points[t],
+                       self.cfg.vfe.num_input_features)
+            if isinstance(f, tuple):   # NormalGT variant
+                f, gt = f
+                normal_gts.append(gt)
             if pillar_mode:
                 bev, cov = self.middle(f, coords[t], vmask[t], train)
             else:
@@ -83,5 +88,7 @@ class OdomNet(nn.Module):
         preds["voxel_features"] = feats        # list[L] of (V, F)
         preds["voxel_covs"] = covs             # list[L] of (V, 7)
         preds["voxel_masks"] = [vmask[t] for t in range(L)]
+        if normal_gts:
+            preds["normal_gt"] = normal_gts    # cross-normal supervision
         preds["seq_length"] = L
         return preds

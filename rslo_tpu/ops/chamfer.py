@@ -23,7 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(1e30)
+BIG = 1e30  # python float: jnp scalars would be captured as consts
+            # inside pallas kernels
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -78,9 +79,23 @@ def nn_search(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
     return jnp.maximum(dist, 0.0), idx
 
 
+def nn_search_auto(src, src_mask, tgt, tgt_mask, tile: int = 1024):
+    """Pallas kernel on TPU when shapes tile-align (~1.4x the scan's
+    compute), XLA scan otherwise."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if (on_tpu and src.shape[0] % tile == 0 and
+            tgt.shape[0] % tile == 0):
+        return nn_search_pallas(src, src_mask, tgt, tgt_mask,
+                                src_tile=tile, tgt_tile=tile)
+    return nn_search(src, src_mask, tgt, tgt_mask)
+
+
 def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
-                     tgt_mask: jax.Array, *, src_tile: int = 512,
-                     tgt_tile: int = 512):
+                     tgt_mask: jax.Array, *, src_tile: int = 1024,
+                     tgt_tile: int = 1024):
     """Pallas TPU version of :func:`nn_search` (same contract).
 
     Grid is (src tiles, tgt tiles); the output block for a src tile is
