@@ -84,6 +84,9 @@ class Norm(nn.Module):
     def __call__(self, x, train: bool):
         if self.bn_type == "none":
             return x
+        if self.bn_type == "semiglobal_sync_bn":
+            from .semiglobal_bn import SemiGlobalSyncBN
+            return SemiGlobalSyncBN()(x, train)
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,),
                            jnp.float32)

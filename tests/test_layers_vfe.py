@@ -54,3 +54,18 @@ def test_mask_propagate_stride():
     out = np.asarray(mask_propagate(m, 3, 2))
     assert out.shape == (1, 4, 4, 1)
     assert out[0, 1, 1, 0] == 1.0
+
+
+def test_learned_vfe_forward(rng):
+    import jax
+    from rslo_tpu.models.vfe_learned import LearnedVFE
+    vox = jnp.asarray(rng.normal(size=(16, 5, 7)).astype(np.float32))
+    num = jnp.asarray(rng.integers(0, 6, size=(16,)).astype(np.int32))
+    mod = LearnedVFE(num_filters=(8, 16))
+    v = mod.init(jax.random.PRNGKey(0), vox, num)
+    out = np.asarray(mod.apply(v, vox, num))
+    assert out.shape == (16, 16)
+    # empty voxels produce zeros
+    empty = np.asarray(num) == 0
+    assert np.all(out[empty] == 0)
+    assert np.all(np.isfinite(out))
