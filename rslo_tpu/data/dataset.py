@@ -40,6 +40,8 @@ def generate_cyc_vo(pose_seq: np.ndarray) -> np.ndarray:
 
 @register_dataset("kitti_hdf5")
 class KittiWindowDataset:
+    USE_CROSS_NORMALS = False
+
     def __init__(self, cfg: DataCfg, split: str = "train",
                  seq_length: int | None = None):
         self.cfg = cfg
@@ -73,7 +75,7 @@ class KittiWindowDataset:
         reader = self.readers[s]
         pts, poses = [], []
         for fr in frames:
-            d = reader.frame(fr)
+            d = reader.frame(fr, cross_normals=self.USE_CROSS_NORMALS)
             pts.append(d["points"])
             lidar_pose = cam_pose_to_lidar(d["pose"], d["Tr"])
             poses.append(RT_to_tq(lidar_pose)[0])
@@ -87,6 +89,8 @@ class KittiWindowDataset:
         }
 
     # ---- evaluation support --------------------------------------------
+    # (cross-normal variant registered below)
+
     def sequence_segments(self):
         """Group the linear eval index by sequence, preserving frame order
         (the eval split iterates windows in order)."""
@@ -94,3 +98,12 @@ class KittiWindowDataset:
         for n, (s, i) in enumerate(self.index):
             seqs.setdefault(s, []).append(n)
         return seqs
+
+@register_dataset("kitti_crossnorm_hdf5")
+class KittiCrossNormWindowDataset(KittiWindowDataset):
+    """Cross-normal variant (KittiDatasetCrossNormalHDF5 analog,
+    /root/reference/rslo/data/kitti_dataset_crossnorm_hdf5.py:28):
+    network-input normals come from ``lidar_cross_normals`` and the fine
+    normals ride along as supervision (10-column points; pair with the
+    SimpleVoxelXYZINormalNormalGT encoder)."""
+    USE_CROSS_NORMALS = True

@@ -36,6 +36,7 @@ def create_hdf5(kitti_root: str, out_path: str,
                 sequences: Sequence[int] = tuple(range(11)),
                 downsample_sizes: Sequence[float] = (0.1,),
                 normal_radius: float = 0.6, normal_k: int = 30,
+                cross_normal_radius: float | None = None,
                 max_frames: int | None = None,
                 progress: bool = True) -> None:
     """Build the training store from a raw KITTI odometry tree."""
@@ -61,6 +62,9 @@ def create_hdf5(kitti_root: str, out_path: str,
             vf = h5py.vlen_dtype(np.float32)
             d_pts = g.create_dataset("lidar_points", (n,), dtype=vf)
             d_nrm = g.create_dataset("lidar_normals", (n,), dtype=vf)
+            d_cross = (g.create_dataset("lidar_cross_normals", (n,),
+                                        dtype=vf)
+                       if cross_normal_radius else None)
             d_hier = {s: g.create_dataset(
                 f"hier_lidar_points_normals_{s}", (n,), dtype=vf)
                 for s in downsample_sizes}
@@ -72,6 +76,13 @@ def create_hdf5(kitti_root: str, out_path: str,
                                            normal_k)
                 d_pts[i] = pts.reshape(-1)
                 d_nrm[i] = normals.reshape(-1)
+                if d_cross is not None:
+                    # larger-scale normals as the network-input variant
+                    # (the reference's cross-frame normals use temporal
+                    # aggregation; this uses a coarser spatial scale)
+                    d_cross[i] = estimate_normals(
+                        pts[:, :3], cross_normal_radius,
+                        normal_k).reshape(-1)
                 pn = np.concatenate([pts[:, :3], normals], axis=1)
                 for s in downsample_sizes:
                     d_hier[s][i] = voxel_downsample(pn, s).reshape(-1)
@@ -88,12 +99,20 @@ class SequenceReader:
         g = get_h5(h5_path)[f"{seq:02d}"]
         self.n_frames = len(g["lidar_points"])
 
-    def frame(self, i: int) -> dict:
+    def frame(self, i: int, cross_normals: bool = False) -> dict:
         g = get_h5(self.path)[f"{self.seq:02d}"]
         pts = g["lidar_points"][i].reshape(-1, 4)
         nrm = g["lidar_normals"][i].reshape(-1, 3)
+        if cross_normals and "lidar_cross_normals" in g:
+            # network input = cross normals; fine normals appended as
+            # supervision (10-col points, crossnorm dataset semantics,
+            # kitti_dataset_crossnorm_hdf5.py:257-273)
+            cross = g["lidar_cross_normals"][i].reshape(-1, 3)
+            points = np.concatenate([pts, cross, nrm], axis=1)
+        else:
+            points = np.concatenate([pts, nrm], axis=1)  # (N, 7)
         out = {
-            "points": np.concatenate([pts, nrm], axis=1),  # (N, 7)
+            "points": points,
             "pose": g["poses"][i].reshape(3, 4),
             "Tr": g["calib_Tr"][i].reshape(3, 4),
         }

@@ -104,9 +104,18 @@ def compute_objective(preds: Dict[str, Any], example: Dict[str, Any],
                              precision=jax.lax.Precision.HIGHEST) \
             + T_use[:, None, :]
 
+        # cross-normal mode: the finer supervision normals weight the
+        # association instead of the network-input normals
+        # (voxel_odom_net.py:602-607)
+        if "normal_gt" in preds:
+            gts = preds["normal_gt"]
+            src_normals = jnp.stack([sub(gts[i]) for (i, j) in pairs])
+        else:
+            src_normals = src_pts[..., 3:6]
+
         c_raw, res_R, res_t = consistency_loss_pairs(
             src_pts[..., :3], src_mask,
-            jax.lax.stop_gradient(src_pts[..., 3:6]), src_cov,
+            jax.lax.stop_gradient(src_normals), src_cov,
             tgt_xyz, tgt_mask, tgt_cov, R_use, T_use,
             penalize_ratio=cfg.penalize_ratio, reg_weight=cfg.reg_weight,
             icp_iter=icp_iter)
