@@ -94,33 +94,54 @@ class DataLoader:
                                              device_batch, seed, last_iter))
         else:
             self.sampler = iter(range(len(dataset)))
-        self.rng = np.random.default_rng(seed + 17)
+        self._seed = seed + 17
+        self._seq_no = 0
         self.workers = num_workers or cfg.num_workers
         self._q: queue.Queue = queue.Queue(maxsize=4)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def _fetch_one(self, idx: int):
+    def _fetch_one(self, idx: int, seq_no: int = 0):
         s = self.dataset[idx]
         if self.train and self.cfg.random_flip_y:
-            s = random_flip_y(s, self.rng)
+            # per-fetch RNG: thread-safe and reproducible per stream
+            # position (the reference samplers' per-index seeds)
+            rng = np.random.default_rng((self._seed, seq_no))
+            s = random_flip_y(s, rng)
         return s
 
     def _run(self):
+        from concurrent.futures import ThreadPoolExecutor
         try:
-            while not self._stop.is_set():
-                samples = []
-                for _ in range(self.device_batch):
-                    try:
-                        idx = next(self.sampler)
-                    except StopIteration:
-                        if samples:
-                            self._q.put(collate(samples, self.cfg))
+            with ThreadPoolExecutor(max_workers=max(self.workers, 1)) \
+                    as pool:
+                pending = []
+                done = False
+                while not self._stop.is_set():
+                    # keep a couple of batches in flight
+                    while not done and len(pending) < 3:
+                        idxs = []
+                        for _ in range(self.device_batch):
+                            try:
+                                idxs.append(next(self.sampler))
+                            except StopIteration:
+                                done = True
+                                break
+                        if len(idxs) < self.device_batch:
+                            break
+                        futs = []
+                        for i in idxs:
+                            futs.append(pool.submit(
+                                self._fetch_one, i, self._seq_no))
+                            self._seq_no += 1
+                        pending.append(futs)
+                    if not pending:
                         self._q.put(None)
                         return
-                    samples.append(self._fetch_one(idx))
-                self._q.put(collate(samples, self.cfg))
+                    batch_futs = pending.pop(0)
+                    samples = [f.result() for f in batch_futs]
+                    self._q.put(collate(samples, self.cfg))
         except Exception as e:  # surface worker errors to the consumer
             self._q.put(e)
 

@@ -95,7 +95,7 @@ def nn_search_auto(src, src_mask, tgt, tgt_mask, tile: int = 1024):
 
 def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
                      tgt_mask: jax.Array, *, src_tile: int = 1024,
-                     tgt_tile: int = 1024):
+                     tgt_tile: int = 1024, interpret: bool = False):
     """Pallas TPU version of :func:`nn_search` (same contract).
 
     Grid is (src tiles, tgt tiles); the output block for a src tile is
@@ -149,6 +149,7 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
             jax.ShapeDtypeStruct((N,), jnp.float32),
             jax.ShapeDtypeStruct((N,), jnp.int32),
         ],
+        interpret=interpret,
     )(src, src_mask.astype(jnp.int32), tgt, tgt_mask.astype(jnp.int32))
     dist = jnp.where(src_mask, dist, BIG)
     idx = jnp.where(src_mask, idx, 0)
