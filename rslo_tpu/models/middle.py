@@ -45,13 +45,15 @@ def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
     """coords: (V, 3) zyx int32; sparse_shape: (nz, ny, nx) with the
     reference's +1 on z already applied; capacities: per-level static caps
     (L4 reuses the L3 capacity)."""
-    l0 = sc.level_from_coords(coords, mask, sparse_shape)
+    l0 = sc.with_slot_map(sc.level_from_coords(coords, mask, sparse_shape))
     levels = [l0]
     down_rb = []
     caps = list(capacities) + [capacities[-1]]
     for i, (k, s, p) in enumerate(DOWN_SPECS):
         nxt = sc.downsample_level(levels[-1], k, s, p,
                                   out_capacity=caps[min(i + 1, len(caps) - 1)])
+        if i < len(DOWN_SPECS) - 1:  # L4 is never looked up in
+            nxt = sc.with_slot_map(nxt)
         down_rb.append(sc.build_conv_index(levels[-1], nxt, k, s, p))
         levels.append(nxt)
     sub_rb = tuple(sc.build_submanifold_index(l) for l in levels[:4])

