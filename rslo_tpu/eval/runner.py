@@ -36,17 +36,31 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
     seq_ids = np.zeros((n,), np.int64)
 
     t0 = time.time()
-    i = 0
     sharding = NamedSharding(mesh, P("data"))
-    while i < n:
+
+    def launch(i):
         idxs = [min(i + d, n - 1) for d in range(D)]
         samples = [dataset[k] for k in idxs]
         batch = collate(samples, cfg.data)
-        meta = batch.pop("meta")
+        batch.pop("meta")
         batch = jax.device_put(
             jax.tree.map(jnp.asarray, batch), sharding)
-        out = np.asarray(eval_step(variables["params"],
-                                   variables.get("batch_stats", {}), batch))
+        out = eval_step(variables["params"],
+                        variables.get("batch_stats", {}), batch)
+        return i, samples, out
+
+    # pipeline: keep a couple of batches in flight so the dispatch/fetch
+    # round-trip overlaps device compute (the analog of the reference's
+    # async dataloader prefetch)
+    import collections
+    inflight = collections.deque()
+    nxt = 0
+    while nxt < n or inflight:
+        while nxt < n and len(inflight) < 3:
+            inflight.append(launch(nxt))
+            nxt += D
+        i, samples, out = inflight.popleft()
+        out = np.asarray(out)
         for d in range(D):
             k = i + d
             if k >= n:
@@ -54,7 +68,6 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
             preds[k] = out[d, 0]
             gts[k] = samples[d]["odometry"][0]
             seq_ids[k] = samples[d]["seq"]
-        i += D
     elapsed = time.time() - t0
     fps = n / elapsed
 
