@@ -159,12 +159,12 @@ def cmd_evaluate(args):
     cfg = _load_cfg(args.config)
     mesh = data_mesh()
     trainer = Trainer(cfg, args.model_dir, mesh, rank0=is_rank0())
-    seq_len = 3 if args.refine else 2
+    seq_len = 3 if (args.refine or args.refine_ba) else 2
     if args.synthetic:
         cfg2 = cfg.replace(data=dataclasses.replace(cfg.data,
                                                     seq_length=seq_len))
-        dataset = _synthetic_dataset(cfg2, "train" if args.refine
-                                     else "val", n_windows=32)
+        dataset = _synthetic_dataset(
+            cfg2, "train" if seq_len == 3 else "val", n_windows=32)
     else:
         dataset = KittiWindowDataset(cfg.data, "val", seq_length=seq_len)
     sample = dataset[0]
@@ -177,10 +177,15 @@ def cmd_evaluate(args):
     ex0["odometry"] = jnp.asarray(b0["odometry"][0])
     state = trainer.init_state(ex0)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    runner = run_eval_refined if args.refine else run_eval
-    results = runner(trainer.net, variables, dataset, cfg, mesh,
-                     trainer.eval_fn(), trainer.logger,
-                     max_windows=args.max_windows)
+    if args.refine or args.refine_ba:
+        results = run_eval_refined(
+            trainer.net, variables, dataset, cfg, mesh,
+            trainer.eval_fn(), trainer.logger,
+            max_windows=args.max_windows, use_ba=args.refine_ba)
+    else:
+        results = run_eval(trainer.net, variables, dataset, cfg, mesh,
+                           trainer.eval_fn(), trainer.logger,
+                           max_windows=args.max_windows)
     print(json.dumps(results, indent=2, default=str))
 
 
@@ -216,6 +221,9 @@ def main(argv=None):
     e.add_argument("--synthetic", action="store_true")
     e.add_argument("--max_windows", type=int, default=None)
     e.add_argument("--refine", action="store_true")
+    e.add_argument("--refine_ba", action="store_true",
+                   help="refine with geometric bundle adjustment "
+                        "(landmark tracks from the raw clouds)")
     e.set_defaults(fn=cmd_evaluate)
 
     b = sub.add_parser("bench")

@@ -105,10 +105,16 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
                      eval_step, logger=None,
                      max_windows: int | None = None,
                      window: int = 64, overlap: int = 16,
-                     iters: int = 8) -> Dict[str, dict]:
+                     iters: int = 8, use_ba: bool = False,
+                     ba_points: int = 4096) -> Dict[str, dict]:
     """Multi-frame-window eval + pose-graph refinement (driver config #4:
     the refine=True path).  Needs an eval split with seq_length >= 3 so
-    windows contribute redundant (i, i+2) edges."""
+    windows contribute redundant (i, i+2) edges.
+
+    ``use_ba`` additionally runs geometric bundle adjustment per window
+    (pgo/ba_bridge.py): the window's raw point clouds are associated into
+    landmark tracks under the predicted motions and the window poses are
+    re-estimated by Schur-complement BA before the global fusion."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..pgo.refine import fuse_window_odometry, window_pairs_to_edges
 
@@ -145,6 +151,21 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
             gts[k] = samples[d]["odometry"]
             seq_ids[k] = samples[d]["seq"]
             starts[k] = samples[d]["frames"][0]
+            if use_ba:
+                # per-window geometric BA on the raw clouds under the
+                # predicted motions; consecutive pair motions updated
+                from ..pgo.ba_bridge import refine_window_ba
+                consec = [preds[k][offsets.index((t, t + 1))]
+                          for t in range(L - 1)]
+                pts = [np.asarray(samples[d]["points"][t])[:, :3]
+                       [::max(1, len(samples[d]["points"][t]) //
+                              ba_points)]
+                       for t in range(L)]
+                refined_poses = refine_window_ba(pts, np.stack(consec))
+                from ..geometry import np_calc_vo
+                for p_i, (a, b) in enumerate(offsets):
+                    preds[k][p_i] = np_calc_vo(
+                        refined_poses[a][None], refined_poses[b][None])[0]
         i += D
     elapsed = time.time() - t0
 

@@ -59,3 +59,13 @@ def test_run_eval_plain(setup, tmp_path):
                    max_windows=10, plot_dir=str(tmp_path))
     assert "avg" in res
     assert (tmp_path / "traj_00.png").exists()
+
+def test_run_eval_refined_with_ba(setup):
+    cfg, net, mesh, variables, eval_step, ds3 = setup
+    res = run_eval_refined(net, variables, ds3, cfg, mesh, eval_step,
+                           max_windows=8, window=8, overlap=2, iters=3,
+                           use_ba=True, ba_points=512)
+    seqs = [k for k in res if k.startswith("seq_")]
+    assert seqs
+    for k in seqs:
+        assert np.isfinite(res[k]["refined"]["t_rel_pct"])
