@@ -34,11 +34,14 @@ HI = jax.lax.Precision.HIGHEST
 
 
 def conv3d(x, w, stride, padding):
-    """x: (1, D, H, W, C); w: (kd, kh, kw, Cin, Cout)."""
+    """x: (1, D, H, W, C); w: (kd, kh, kw, Cin, Cout).
+
+    No explicit preferred_element_type: TPU bf16 convs accumulate fp32
+    internally, and mixing an f32 output with bf16 operands breaks the
+    autodiff transpose (dtype-mismatched backward convs)."""
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride, padding=padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
 class DenseConv(nn.Module):
@@ -88,8 +91,7 @@ class DenseConvTranspose(nn.Module):
             x, jnp.flip(w, (0, 1, 2)).astype(x.dtype),
             window_strides=(1, 1, 1), padding=pad,
             lhs_dilation=self.stride,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32) + b
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
         y = y * occ_fine
         return y.astype(x.dtype)
 
