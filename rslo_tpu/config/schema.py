@@ -71,6 +71,8 @@ class OdomCfg:
     odom_format: str = "rx+t"        # 'rx+t' | 'r(x+t)'
     first_conv_groups: int = 2       # pair-concat input is grouped
     compute_dtype: str = "bf16"      # bf16 | fp32 (heads stay fp32)
+    use_se: bool = False             # SE channel attention in blocks
+    use_sa: bool = False             # spatial attention in blocks
 
 
 @dataclass(frozen=True)

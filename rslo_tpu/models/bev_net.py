@@ -120,12 +120,16 @@ class Norm(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """Mask-aware ResNet BasicBlock; residual add averages the masks."""
+    """Mask-aware ResNet BasicBlock; residual add averages the masks.
+    Optional SE/spatial attention on the residual branch
+    (custom_resnet_spc.py use_se/use_sa)."""
     features: int
     stride: int = 1
     bn_type: str = "sync_bn"
     groups: int = 1
     dtype: object = None
+    use_se: bool = False
+    use_sa: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
@@ -135,6 +139,12 @@ class BasicBlock(nn.Module):
         y = nn.relu(y)
         y, m = MaskConv(self.features, 3, 1, dtype=self.dtype)(y, m)
         y = Norm(self.bn_type)(y, train)
+        if self.use_se:
+            from .attention import SELayer
+            y = SELayer()(y)
+        if self.use_sa:
+            from .attention import SpatialAttention
+            y = SpatialAttention()(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             x, mask = MaskConv(self.features, 1, self.stride,
                                groups=self.groups, dtype=self.dtype)(
@@ -219,8 +229,11 @@ class BEVOdomNet(nn.Module):
             groups = cfg.first_conv_groups if i == 0 else 1
             x, m = BasicBlock(feats, stride, cfg.bn_type, groups,
                               dtype=dt)(x, m, train)
-            for _ in range(n_blocks - 1):
-                x, m = BasicBlock(feats, 1, cfg.bn_type, dtype=dt)(
+            for bi in range(n_blocks - 1):
+                last = bi == n_blocks - 2
+                x, m = BasicBlock(feats, 1, cfg.bn_type, dtype=dt,
+                                  use_se=cfg.use_se and last,
+                                  use_sa=cfg.use_sa and last)(
                     x, m, train)
             skips.append(ConvBNRelu(feats, 3, cfg.bn_type, dtype=dt)(
                 x, train))
