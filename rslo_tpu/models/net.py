@@ -54,11 +54,12 @@ class OdomNet(nn.Module):
           coords:      (L, V, 3) int32 zyx (-1 padding)
           voxel_mask:  (L, V) bool
         Returns the prediction dict (all pair-major arrays)."""
-        voxels = example["voxels"]
         num_points = example["num_points"]
         coords = example["coords"]
         vmask = example["voxel_mask"]
-        L = voxels.shape[0]
+        pre_encoded = "voxel_features" in example  # mean-mode prepare
+        voxels = example.get("voxels")
+        L = coords.shape[0]
 
         from ..config.registry import get as registry_get
         vfe_fn = registry_get("vfe", self.cfg.vfe.name)
@@ -66,8 +67,11 @@ class OdomNet(nn.Module):
         bevs, covs, feats = [], [], []
         normal_gts = []
         for t in range(L):
-            f = vfe_fn(voxels[t], num_points[t],
-                       self.cfg.vfe.num_input_features)
+            if pre_encoded:
+                f = example["voxel_features"][t]
+            else:
+                f = vfe_fn(voxels[t], num_points[t],
+                           self.cfg.vfe.num_input_features)
             if isinstance(f, tuple):   # NormalGT variant
                 f, gt = f
                 normal_gts.append(gt)

@@ -147,6 +147,93 @@ def voxelize(points: jax.Array, point_mask: jax.Array,
     return Voxels(voxels, coords, num_points, num_voxels, point_voxel)
 
 
+class MeanVoxels(NamedTuple):
+    """Sort-free voxelization result (mean features only).
+
+    features:   (V, F) per-voxel mean of point features.
+    coords:     (V, 3) int32 (z, y, x); -1 padding.  Slots are in
+                ascending linear-id order (same invariant as `voxelize`).
+    num_points: (V,) int32 points per voxel (ALL points — no per-voxel
+                cap, unlike the stack-based path).
+    num_voxels: () int32.
+    point_voxel:(N,) int32 slot per input point (-1 dropped).
+    """
+    features: jax.Array
+    coords: jax.Array
+    num_points: jax.Array
+    num_voxels: jax.Array
+    point_voxel: jax.Array
+
+    @property
+    def mask(self) -> jax.Array:
+        return self.num_points > 0
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def voxelize_mean(points: jax.Array, point_mask: jax.Array,
+                  config: VoxelizerConfig) -> MeanVoxels:
+    """Sort-free voxelization: compaction via a two-level prefix sum
+    over the dense occupancy grid instead of a 131k argsort (the argsort
+    is ~half the voxelizer's runtime on TPU).  Produces per-voxel MEANS
+    directly — sufficient for the mean VFEs and the pillar path; use
+    :func:`voxelize` when per-voxel point stacks are needed.
+
+    Overflow policy matches `voxelize`: slots are id-ordered and cells
+    beyond ``max_voxels`` are dropped (largest ids).  Difference: means
+    include ALL of a voxel's points (no ``max_points`` arrival cap).
+    """
+    N, F = points.shape
+    V = config.max_voxels
+    pr = jnp.asarray(config.point_cloud_range, points.dtype)
+    vs = jnp.asarray(config.voxel_size, points.dtype)
+    nx, ny, nz = (int(g) for g in config.grid_size)
+    G = nx * ny * nz
+
+    xyz = points[:, :3]
+    cxyz = jnp.floor((xyz - pr[:3]) / vs).astype(jnp.int32)
+    valid = jnp.all((cxyz >= 0) & (cxyz < jnp.array([nx, ny, nz])),
+                    axis=-1) & point_mask
+    vid = (cxyz[:, 2] * ny + cxyz[:, 1]) * nx + cxyz[:, 0]
+    vid = jnp.where(valid, vid, G)
+
+    # occupancy bitmap + two-level exclusive prefix sum -> slot per id
+    occ = jnp.zeros((G + 1,), jnp.int32).at[vid].max(1)
+    occ = occ[:G]
+    R = nz * ny                      # rows of the 2D scan layout
+    occ2d = occ.reshape(R, nx)
+    row_c = jnp.cumsum(occ2d, axis=1)
+    row_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(row_c[:, -1])[:-1]])
+    csum_excl = (row_off[:, None] + row_c - occ2d).reshape(-1)  # (G,)
+    n_active = (row_off[-1] + row_c[-1, -1]).astype(jnp.int32)
+
+    slot_all = jnp.concatenate([csum_excl, jnp.full((1,), V, jnp.int32)])
+    pslot = slot_all[vid]
+    keep = valid & (pslot < V)
+    pslot = jnp.where(keep, pslot, V)
+
+    feat_sum = jnp.zeros((V + 1, F), points.dtype).at[pslot].add(
+        jnp.where(keep[:, None], points, 0.0))
+    count = jnp.zeros((V + 1,), jnp.int32).at[pslot].add(
+        keep.astype(jnp.int32))
+    features = feat_sum[:V] / jnp.maximum(count[:V, None], 1)
+
+    # coords per slot: min-scatter of ids (all points in a slot share id)
+    ids_arr = jnp.full((V + 1,), G, jnp.int32).at[pslot].min(
+        jnp.where(keep, jnp.minimum(vid, G), G))
+    ids_arr = ids_arr[:V]
+    mask_v = count[:V] > 0
+    zz = ids_arr // (ny * nx)
+    yy = (ids_arr // nx) % ny
+    xx = ids_arr % nx
+    coords = jnp.where(mask_v[:, None],
+                       jnp.stack([zz, yy, xx], -1), -1).astype(jnp.int32)
+    features = jnp.where(mask_v[:, None], features, 0.0)
+    point_voxel = jnp.where(keep, pslot, -1).astype(jnp.int32)
+    return MeanVoxels(features, coords, count[:V],
+                      jnp.minimum(n_active, V), point_voxel)
+
+
 def voxelize_np(points: np.ndarray, config: VoxelizerConfig):
     """Numpy oracle with the same semantics (for tests and host prep)."""
     mask = np.ones(len(points), bool)

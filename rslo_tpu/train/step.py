@@ -40,6 +40,9 @@ def make_train_step(net, tx: optax.GradientTransformation,
     """
     pc_range = cfg.voxelizer.point_cloud_range
     vcfg = voxelizer_config(cfg)
+    # sort-free mean voxelizer measured SLOWER at KITTI scale (44M-cell
+    # occupancy pass vs a 131k argsort) — keep the stack path
+    mean_mode = False
 
     def loss_fn(trainable, batch_stats, example):
         variables = {"params": trainable["params"],
@@ -54,11 +57,12 @@ def make_train_step(net, tx: optax.GradientTransformation,
     def device_step(state: TrainState, batch):
         # strip the leading per-device batch axis of size 1
         batch = jax.tree.map(lambda x: x[0], batch)
-        if "voxels" in batch:
+        if "voxels" in batch or "voxel_features" in batch:
             example = batch
         else:
             example = prepare_example(batch["points"],
-                                      batch["point_mask"], vcfg)
+                                      batch["point_mask"], vcfg,
+                                      mean_mode=mean_mode)
             example["odometry"] = batch["odometry"]
         trainable = {"params": state.params, "alphas": state.alphas}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -97,14 +101,16 @@ def make_eval_step(net, cfg: PipelineCfg, mesh: Mesh):
     gathered across the mesh (the analog of evaluate.py:410-420)."""
 
     vcfg = voxelizer_config(cfg)
+    mean_mode = False  # see make_train_step note
 
     def device_eval(params, batch_stats, batch):
         batch = jax.tree.map(lambda x: x[0], batch)
-        if "voxels" in batch:
+        if "voxels" in batch or "voxel_features" in batch:
             example = batch
         else:
             example = prepare_example(batch["points"],
-                                      batch["point_mask"], vcfg)
+                                      batch["point_mask"], vcfg,
+                                      mean_mode=mean_mode)
         variables = {"params": params, "batch_stats": batch_stats}
         preds = net.apply(variables, example, train=False)
         odom = preds["odometry"].astype(jnp.float32)

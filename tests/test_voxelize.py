@@ -87,3 +87,40 @@ def test_height_threshold_ground_filter(rng):
     zs = np.asarray(out.coords)[:int(out.num_voxels), 0]
     # all ground-level voxels (z cell 0) should be filtered out
     assert np.all(zs == np.floor((0.5 - (-1.0)) / 0.5))
+
+
+def test_voxelize_mean_matches_stack_path(rng):
+    """Sort-free mean voxelizer == voxelize + mean when voxels are under
+    the point cap."""
+    from rslo_tpu.ops.voxelize import voxelize_mean
+    cfg = CFG._replace(max_voxels=256, max_points=32)
+    pts = rng.uniform(-4.5, 4.5, size=(300, 5)).astype(np.float32)
+    pts[:, 1] *= 0.5
+    pts[:, 2] *= 0.25
+    mask = np.ones(300, bool)
+    mask[280:] = False
+    a = voxelize(jnp.asarray(pts), jnp.asarray(mask), cfg)
+    b = voxelize_mean(jnp.asarray(pts), jnp.asarray(mask), cfg)
+    assert int(a.num_voxels) == int(b.num_voxels)
+    np.testing.assert_array_equal(np.asarray(a.coords),
+                                  np.asarray(b.coords))
+    np.testing.assert_array_equal(np.asarray(a.num_points),
+                                  np.asarray(b.num_points))
+    n = np.maximum(np.asarray(a.num_points)[:, None], 1)
+    mean_a = np.asarray(a.voxels).sum(axis=1) / n
+    np.testing.assert_allclose(np.asarray(b.features), mean_a, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.point_voxel),
+                                  np.asarray(b.point_voxel))
+
+
+def test_voxelize_mean_capacity_truncation(rng):
+    from rslo_tpu.ops.voxelize import voxelize_mean
+    cfg = CFG._replace(max_voxels=16)
+    pts = rng.uniform(-4.5, 4.5, size=(400, 4)).astype(np.float32)
+    pts[:, 1] *= 0.5
+    pts[:, 2] *= 0.25
+    a = voxelize(jnp.asarray(pts), jnp.ones(400, bool), cfg)
+    b = voxelize_mean(jnp.asarray(pts), jnp.ones(400, bool), cfg)
+    # same id-ordered truncation policy
+    np.testing.assert_array_equal(np.asarray(a.coords),
+                                  np.asarray(b.coords))
