@@ -138,7 +138,8 @@ def cmd_train(args):
         from .eval.runner import run_eval
         variables = {"params": st.params, "batch_stats": st.batch_stats}
         res = run_eval(tr.net, variables, eval_ds, cfg, mesh,
-                       tr.eval_fn(), tr.logger, max_windows=256)
+                       tr.eval_fn(), tr.logger, max_windows=256,
+                       plot_dir=f"{args.model_dir}/plots/step_{step_i}")
         if "avg" in res:
             tr.logger.log_metrics({"eval": res["avg"]}, step_i)
 
