@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import sys
 from pathlib import Path
 
 import numpy as np
@@ -85,7 +84,7 @@ def cmd_train(args):
     from .data.dataset import KittiWindowDataset
     from .data.loader import DataLoader
     from .train.distributed import initialize_multihost, is_rank0
-    from .train.loop import Trainer, data_mesh, shard_batch
+    from .train.loop import Trainer, data_mesh
     from .data.prepare import prepare_example, voxelizer_config
     import jax.numpy as jnp
 
@@ -149,7 +148,6 @@ def cmd_train(args):
 
 
 def cmd_evaluate(args):
-    import jax
     import jax.numpy as jnp
     from .data.dataset import KittiWindowDataset
     from .eval.runner import run_eval, run_eval_refined

@@ -10,8 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..geometry import (np_calc_vo, np_compose_pose, matrix_to_quat_np,
-                        quat_to_matrix_np)
+from ..geometry import matrix_to_quat_np, quat_to_matrix_np
 
 FLIP = np.diag([1.0, -1.0, 1.0])
 

@@ -13,8 +13,6 @@ Mirrors KittiDatasetHDF5 (/root/reference/rslo/data/kitti_dataset_hdf5.py):
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 from ..config.schema import DataCfg

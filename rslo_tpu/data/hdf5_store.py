@@ -15,7 +15,6 @@ reference's HDF5 singleton (rslo/utils/singleton.py:18-58).
 from __future__ import annotations
 
 import os
-from pathlib import Path
 from typing import Sequence
 
 import numpy as np

@@ -7,7 +7,6 @@ velodyne scans as float32 (N, 4) .bin files.
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np

@@ -21,7 +21,7 @@ from typing import Iterator
 import numpy as np
 
 from ..config.schema import DataCfg
-from .augment import pose_interp_aug, random_flip_y
+from .augment import random_flip_y
 
 
 def pad_points(pts: np.ndarray, n_max: int):

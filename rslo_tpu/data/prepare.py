@@ -5,13 +5,12 @@ reference, which voxelizes in C++ dataloader workers,
 /root/reference/rslo/data/preprocess.py:469-512)."""
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from ..config.schema import PipelineCfg, grid_size
+from ..config.schema import PipelineCfg
 from ..ops.voxelize import VoxelizerConfig, voxelize
 
 

@@ -9,7 +9,7 @@ RMSE and per-speed bins.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -10,7 +10,7 @@ stateless path re-encodes both frames at ~48 ms/pair).
 """
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ odom_pred.py) as channels-last NHWC modules:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ layers at the same resolution — the analog of spconv's ``indice_key``.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

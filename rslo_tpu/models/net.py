@@ -11,16 +11,14 @@ the device mesh.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.schema import PipelineCfg, grid_size
 from .bev_net import BEVOdomNet, cycle_pairs
-from .middle import FrameGeometry, SparseMiddleCov, build_geometry
-from .vfe import simple_voxel_xyzi_normal
+from .middle import SparseMiddleCov, build_geometry
 
 
 class OdomNet(nn.Module):

@@ -9,7 +9,7 @@ reference; masking uses the per-voxel point counts.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

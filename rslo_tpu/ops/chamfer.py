@@ -103,7 +103,6 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
     Shapes must be multiples of the tile sizes (pad upstream).
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     N, M = src.shape[0], tgt.shape[0]
     assert N % src_tile == 0 and M % tgt_tile == 0, (N, M)

@@ -23,7 +23,6 @@ Submanifold (stride 1, out sites == in sites), strided downsample
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Sequence
 
 import jax

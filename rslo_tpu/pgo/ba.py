@@ -33,8 +33,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import qexp, qmult, qnormalize, quat_to_matrix, \
-    rotate_vec_by_q, invert_pose
+from ..geometry import qexp, qmult, qnormalize, rotate_vec_by_q, \
+    invert_pose
 
 HI = jax.lax.Precision.HIGHEST
 

@@ -25,8 +25,7 @@ from typing import List, Sequence
 import numpy as np
 import jax.numpy as jnp
 
-from ..geometry import (np_compose_pose, np_invert_pose, odom_to_abs_pose,
-                        quat_to_matrix_np)
+from ..geometry import odom_to_abs_pose, quat_to_matrix_np
 from .ba import BAProblem, solve_ba
 
 

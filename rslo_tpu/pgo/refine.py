@@ -16,11 +16,10 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import np_calc_vo, np_compose_pose, odom_to_abs_pose
+from ..geometry import np_compose_pose, odom_to_abs_pose
 from .pose_graph import PoseGraph, optimize_pose_graph
 
 

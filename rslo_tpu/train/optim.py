@@ -10,8 +10,6 @@ multipliers (the layer-group analog).
 from __future__ import annotations
 
 import math
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

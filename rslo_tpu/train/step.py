@@ -14,13 +14,10 @@ picked by the python-level global step — no traced control flow.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config.schema import PipelineCfg
 from ..data.prepare import prepare_example, voxelizer_config

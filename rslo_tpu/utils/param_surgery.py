@@ -10,7 +10,7 @@ freeze_params_v2), operating on flax nested param dicts addressed by
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Sequence
+from typing import Any, Dict
 
 import jax
 
