@@ -106,11 +106,13 @@ def evaluate_sequence(pred_abs_tq: np.ndarray, gt_abs_tq: np.ndarray,
                       deg: bool = True) -> dict:
     """Full per-sequence metric bundle.  t_rel in %, r_rel in deg/100m
     when ``deg`` (the usual KITTI table convention)."""
+    from ..geometry import ate_rmse
     errs = sequence_errors(pred_abs_tq, gt_abs_tq)
     segs = segment_errors(errs)
     t_rel, r_rel = average_errors(segs)
     t_rmse, r_rmse = rmse_errors(segs)
     out = {
+        "ate_rmse_m": ate_rmse(pred_abs_tq, gt_abs_tq),
         "t_rel_pct": t_rel * 100.0,
         "r_rel_deg_per_100m": r_rel * 180.0 / np.pi * 100.0,
         "t_rmse_pct": t_rmse * 100.0,

@@ -7,7 +7,7 @@ from .kabsch import weighted_kabsch
 from .transforms import (RT_to_tq, tq_to_RT, cam_pose_to_lidar,
                          odom_to_abs_pose, np_compose_pose, np_invert_pose,
                          np_calc_vo, expand_rigid, matrix_to_quat_np,
-                         quat_to_matrix_np)
+                         quat_to_matrix_np, umeyama_alignment, ate_rmse)
 
 __all__ = [
     "qnormalize", "hemisphere", "qmult", "qinv", "qexp", "qlog",
@@ -17,5 +17,6 @@ __all__ = [
     "weighted_kabsch",
     "RT_to_tq", "tq_to_RT", "cam_pose_to_lidar", "odom_to_abs_pose",
     "np_compose_pose", "np_invert_pose", "np_calc_vo", "expand_rigid",
-    "matrix_to_quat_np", "quat_to_matrix_np",
+    "matrix_to_quat_np", "quat_to_matrix_np", "umeyama_alignment",
+    "ate_rmse",
 ]

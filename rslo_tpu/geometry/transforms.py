@@ -122,3 +122,45 @@ def odom_to_abs_pose(odoms: np.ndarray) -> np.ndarray:
         cur = np_compose_pose(cur, odoms[i:i + 1])
         abs_poses[i] = cur[0]
     return abs_poses
+
+
+def umeyama_alignment(src: np.ndarray, dst: np.ndarray,
+                      with_scale: bool = False):
+    """Least-squares similarity/rigid alignment dst ~ c R src + t
+    (Umeyama; the reference's align_3d_pts[_noscale],
+    /root/reference/rslo/utils/pose_utils.py:853-1122).
+
+    src, dst: (N, 3).  Returns (c, R, t)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (xs ** 2).sum() / len(src)
+        c = float(np.trace(np.diag(D) @ S) / var_s)
+    else:
+        c = 1.0
+    t = mu_d - c * R @ mu_s
+    return c, R, t
+
+
+def ate_rmse(pred_abs: np.ndarray, gt_abs: np.ndarray,
+             align: bool = True, with_scale: bool = False) -> float:
+    """Absolute trajectory error (RMSE of positions) after optional
+    rigid/similarity alignment."""
+    p = np.asarray(pred_abs)[:, :3]
+    g = np.asarray(gt_abs)[:, :3]
+    n = min(len(p), len(g))
+    p, g = p[:n], g[:n]
+    if align and n >= 3:
+        c, R, t = umeyama_alignment(p, g, with_scale)
+        p = (c * (R @ p.T)).T + t
+    return float(np.sqrt(np.mean(np.sum((p - g) ** 2, axis=1))))

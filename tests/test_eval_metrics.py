@@ -40,3 +40,31 @@ def test_segment_definition_matches_devkit():
     assert 100 in lens and 800 in lens
     firsts = sorted({e[0] for e in errs})
     assert firsts[0] == 0 and firsts[1] == 10
+
+
+def test_ate_zero_for_perfect():
+    gt = straight_trajectory()
+    out = evaluate_sequence(gt, gt)
+    assert out["ate_rmse_m"] < 1e-9
+
+
+def test_ate_alignment_removes_rigid_offset():
+    from rslo_tpu.geometry import ate_rmse
+    gt = straight_trajectory(200)
+    pred = gt.copy()
+    pred[:, 0] += 5.0     # constant offset: alignment removes it
+    assert ate_rmse(pred, gt) < 1e-6
+    assert ate_rmse(pred, gt, align=False) > 4.9
+
+
+def test_umeyama_recovers_similarity(rng=None):
+    import numpy as _np
+    from rslo_tpu.geometry import umeyama_alignment, quat_to_matrix_np
+    rng = _np.random.default_rng(0)
+    src = rng.normal(size=(100, 3))
+    q = rng.normal(size=4); q /= _np.linalg.norm(q)
+    R = quat_to_matrix_np(q)
+    dst = 2.5 * (R @ src.T).T + _np.array([1., -2., 3.])
+    c, R2, t2 = umeyama_alignment(src, dst, with_scale=True)
+    _np.testing.assert_allclose(c, 2.5, rtol=1e-6)
+    _np.testing.assert_allclose(R2, R, atol=1e-8)
