@@ -19,6 +19,7 @@ from flax import linen as nn
 from ..config.schema import PipelineCfg, grid_size
 from .bev_net import BEVOdomNet, cycle_pairs
 from .middle import SparseMiddleCov, build_geometry
+from . import vfe as _vfe  # noqa: F401  (registers the VFE encoders)
 
 
 class OdomNet(nn.Module):
