@@ -217,6 +217,15 @@ class BEVOdomNet(nn.Module):
     def __call__(self, x_pair, train: bool):
         """x_pair: (P, H, W, 2*C) concatenated frame-pair features."""
         cfg = self.cfg
+        total_stride = 1
+        for s in cfg.layer_strides:
+            total_stride *= s
+        H_in, W_in = x_pair.shape[1:3]
+        assert H_in % total_stride == 0 and W_in % total_stride == 0, (
+            f"BEV dims ({H_in}, {W_in}) must divide the encoder stride "
+            f"product {total_stride} (SAME-padding pooling and exact x2 "
+            f"upsampling disagree otherwise); pick a point_cloud_range / "
+            f"voxel_size whose grid/8 is divisible by {total_stride}")
         dt = jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32
         input_mask = jax.lax.stop_gradient(
             (jnp.sum(jnp.abs(x_pair), axis=-1, keepdims=True) != 0)
