@@ -75,6 +75,7 @@ def cmd_create_hdf5(args):
     from .data.hdf5_store import create_hdf5
     create_hdf5(args.kitti_root, args.out,
                 sequences=[int(s) for s in args.sequences.split(",")],
+                cross_normal_radius=args.cross_normal_radius,
                 max_frames=args.max_frames)
 
 
@@ -204,6 +205,9 @@ def main(argv=None):
     c.add_argument("--sequences", default=",".join(str(i)
                                                    for i in range(11)))
     c.add_argument("--max_frames", type=int, default=None)
+    c.add_argument("--cross_normal_radius", type=float, default=None,
+                   help="also store coarser-scale normals "
+                        "(lidar_cross_normals) for the crossnorm dataset")
     c.set_defaults(fn=cmd_create_hdf5)
 
     t = sub.add_parser("train")

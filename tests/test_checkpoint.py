@@ -1,0 +1,40 @@
+"""Checkpoint manager: save / latest / restore round-trip + pruning."""
+import numpy as np
+import jax.numpy as jnp
+import optax
+
+from rslo_tpu.train.checkpoint import CheckpointManager
+from rslo_tpu.train.state import TrainState
+
+
+def make_state(v=1.0):
+    variables = {"params": {"w": jnp.full((4, 4), v)},
+                 "batch_stats": {"m": jnp.zeros((4,))}}
+    tx = optax.adam(1e-3)
+    return TrainState.create(variables, tx, {"rot": -2.5, "trans": 0.0})
+
+
+def test_save_restore_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    s1 = make_state(1.0)
+    mgr.save(10, s1)
+    assert mgr.latest_step() == 10
+    restored = mgr.restore(make_state(0.0))
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 1.0)
+    np.testing.assert_allclose(float(restored.alphas["rot"]), -2.5)
+    assert int(restored.step) == 0  # step lives in the state pytree
+
+    # idempotent re-save of the same step is a no-op
+    mgr.save(10, make_state(9.0))
+    again = mgr.restore(make_state(0.0))
+    np.testing.assert_allclose(np.asarray(again.params["w"]), 1.0)
+
+
+def test_max_to_keep_prunes(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    for step in (1, 2, 3):
+        mgr.save(step, make_state(float(step)))
+    steps = sorted(mgr.mgr.all_steps())
+    assert steps == [2, 3]
+    r = mgr.restore(make_state(0.0), step=3)
+    np.testing.assert_allclose(np.asarray(r.params["w"]), 3.0)
