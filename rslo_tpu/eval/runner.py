@@ -94,6 +94,8 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
                 [results[k]["t_rel_pct"] for k in seq_keys])),
             "r_rel_deg_per_100m": float(np.mean(
                 [results[k]["r_rel_deg_per_100m"] for k in seq_keys])),
+            "ate_rmse_m": float(np.mean(
+                [results[k]["ate_rmse_m"] for k in seq_keys])),
         }
     if logger is not None:
         logger.log_text(f"eval: {n} windows in {elapsed:.1f}s "
