@@ -142,6 +142,26 @@ def cmd_train(args):
                        plot_dir=f"{args.model_dir}/plots/step_{step_i}")
         if "avg" in res:
             tr.logger.log_metrics({"eval": res["avg"]}, step_i)
+        # image observability (the reference's tq-map/conf/mask images,
+        # train_hdf5.py:749-787)
+        try:
+            import numpy as _np
+            preds = tr.net.apply(variables, ex0, train=False)
+            tq = _np.asarray(preds["tq_map"][0], _np.float32)
+            tr.logger.log_image("tq_map/translation_norm",
+                                _np.linalg.norm(tq[..., :3], axis=-1),
+                                step_i)
+            tr.logger.log_image("conf/translation",
+                                _np.asarray(preds["t_conf"][0, ..., 0]),
+                                step_i)
+            tr.logger.log_image("conf/rotation",
+                                _np.asarray(preds["q_conf"][0, ..., 0]),
+                                step_i)
+            tr.logger.log_image("feature_mask",
+                                _np.asarray(preds["input_mask"][0, ..., 0],
+                                            _np.float32), step_i)
+        except Exception as e:  # never let viz kill training
+            tr.logger.log_text(f"image logging failed: {e}")
 
     state = trainer.fit(batches(), state, eval_hook=eval_hook,
                         max_steps=args.steps)

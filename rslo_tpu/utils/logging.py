@@ -37,6 +37,18 @@ class MetricLogger:
         self.txt.write(line + "\n")
         self.txt.flush()
 
+    def log_image(self, tag: str, img, step: int):
+        """img: (H, W) or (H, W, C) float array in [0, 1]-ish range."""
+        if not self.enabled or self.tb is None:
+            return
+        import numpy as np
+        img = np.asarray(img, np.float32)
+        lo, hi = float(img.min()), float(img.max())
+        img = (img - lo) / (hi - lo + 1e-12)
+        if img.ndim == 2:
+            img = img[..., None]
+        self.tb.add_image(tag, img, step, dataformats="HWC")
+
     def log_metrics(self, metrics: dict, step: int):
         if not self.enabled:
             return
