@@ -42,3 +42,23 @@ def test_eval_uses_running_stats(rng):
     # eval normalization is input-independent (same affine of running)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1) * 100.0,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_spatial_grouped_instance_norm(rng):
+    from rslo_tpu.models.spatial_group_norm import SpatialGroupedInstanceNorm
+    x = jnp.asarray(rng.normal(3.0, 2.0, size=(2, 4, 20, 3))
+                    .astype(np.float32))
+    mod = SpatialGroupedInstanceNorm(num_groups=(1, 5))
+    v = mod.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(mod.apply(v, x))
+    assert y.shape == x.shape
+    # each (n, h, group, c) slab of 4 columns is zero-mean ~unit-var
+    slabs = y.reshape(2, 4, 5, 4, 3)
+    np.testing.assert_allclose(slabs.mean(axis=3), 0.0, atol=1e-4)
+    v_med = np.median(slabs.var(axis=3))
+    assert abs(v_med - 1.0) < 0.05, v_med
+    # uneven split: 20 cols into 3 groups -> 2 std groups of 6 + last 8
+    mod2 = SpatialGroupedInstanceNorm(num_groups=(1, 3))
+    v2 = mod2.init(jax.random.PRNGKey(0), x)
+    y2 = np.asarray(mod2.apply(v2, x))
+    assert np.isfinite(y2).all()
