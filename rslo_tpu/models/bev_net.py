@@ -48,21 +48,43 @@ def max_pool_mask(mask: jax.Array, kernel: int, stride: int) -> jax.Array:
 
 
 class MaskConv(nn.Module):
-    """Conv on features + max-pool on the validity mask."""
+    """Conv on features + max-pool on the validity mask.
+
+    ``normalized=True`` gives the reference's alternative ``SparseConv``
+    conv_type (rslo/layers/SparseConv.py:222-302): conv(x*m) scaled by
+    the reciprocal valid-tap count (a frozen all-ones sum-conv over the
+    mask), bias added after normalization — partial-conv semantics that
+    keep activations magnitude-invariant near mask boundaries."""
     features: int
     kernel: int = 3
     stride: int = 1
     use_bias: bool = False
     groups: int = 1
     dtype: object = None
+    normalized: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
+        if self.normalized:
+            x = x * mask.astype(x.dtype)
         y = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=self.use_bias, dtype=self.dtype,
-                    param_dtype=jnp.float32,
+                    use_bias=self.use_bias and not self.normalized,
+                    dtype=self.dtype, param_dtype=jnp.float32,
                     feature_group_count=self.groups)(x)
+        if self.normalized:
+            ones = jnp.ones((self.kernel, self.kernel, 1, 1), y.dtype)
+            msum = jax.lax.stop_gradient(jax.lax.conv_general_dilated(
+                mask.astype(y.dtype), ones,
+                (self.stride, self.stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            y = y / jnp.maximum(msum, 1.0)
+            if self.use_bias:
+                b = self.param("norm_bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                y = y + b.astype(y.dtype)
+            m = jax.lax.stop_gradient((msum > 0).astype(mask.dtype))
+            return y, m
         m = jax.lax.stop_gradient(
             max_pool_mask(mask, self.kernel, self.stride))
         return y, m
@@ -130,14 +152,17 @@ class BasicBlock(nn.Module):
     dtype: object = None
     use_se: bool = False
     use_sa: bool = False
+    normalized: bool = False   # conv_type == "sparse_conv"
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         y, m = MaskConv(self.features, 3, self.stride,
-                        groups=self.groups, dtype=self.dtype)(x, mask)
+                        groups=self.groups, dtype=self.dtype,
+                        normalized=self.normalized)(x, mask)
         y = Norm(self.bn_type)(y, train)
         y = nn.relu(y)
-        y, m = MaskConv(self.features, 3, 1, dtype=self.dtype)(y, m)
+        y, m = MaskConv(self.features, 3, 1, dtype=self.dtype,
+                        normalized=self.normalized)(y, m)
         y = Norm(self.bn_type)(y, train)
         if self.use_se:
             from .attention import SELayer
@@ -147,8 +172,8 @@ class BasicBlock(nn.Module):
             y = SpatialAttention()(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             x, mask = MaskConv(self.features, 1, self.stride,
-                               groups=self.groups, dtype=self.dtype)(
-                                   x, mask)
+                               groups=self.groups, dtype=self.dtype,
+                               normalized=self.normalized)(x, mask)
             x = Norm(self.bn_type)(x, train)
         out = nn.relu(x + y)
         return out, (mask + m) * 0.5
@@ -217,6 +242,9 @@ class BEVOdomNet(nn.Module):
     def __call__(self, x_pair, train: bool):
         """x_pair: (P, H, W, 2*C) concatenated frame-pair features."""
         cfg = self.cfg
+        assert cfg.conv_type in ("mask_conv", "sparse_conv"), (
+            f"unknown conv_type {cfg.conv_type!r}; expected 'mask_conv' "
+            f"or 'sparse_conv'")
         total_stride = 1
         for s in cfg.layer_strides:
             total_stride *= s
@@ -237,13 +265,16 @@ class BEVOdomNet(nn.Module):
                 cfg.layer_nums, cfg.layer_strides, cfg.num_filters)):
             groups = cfg.first_conv_groups if i == 0 else 1
             x, m = BasicBlock(feats, stride, cfg.bn_type, groups,
-                              dtype=dt)(x, m, train)
+                              dtype=dt,
+                              normalized=cfg.conv_type == "sparse_conv")(
+                                  x, m, train)
             for bi in range(n_blocks - 1):
                 last = bi == n_blocks - 2
                 x, m = BasicBlock(feats, 1, cfg.bn_type, dtype=dt,
                                   use_se=cfg.use_se and last,
-                                  use_sa=cfg.use_sa and last)(
-                    x, m, train)
+                                  use_sa=cfg.use_sa and last,
+                                  normalized=cfg.conv_type ==
+                                  "sparse_conv")(x, m, train)
             skips.append(ConvBNRelu(feats, 3, cfg.bn_type, dtype=dt)(
                 x, train))
 

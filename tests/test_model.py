@@ -141,3 +141,37 @@ def test_self_supervised_identity_pair_low_loss(model_and_state):
                             warmup=True, self_supervised=True)
     # identical clouds -> associations are exact -> tiny Mahalanobis term
     assert float(out.aux["consistency_loss"]) < 1.0
+
+
+def test_normalized_mask_conv_partial_invariance(rng):
+    """SparseConv conv_type (rslo/layers/SparseConv.py:222-302): with
+    all-ones kernel weights a constant field stays constant at every
+    cell with >=1 valid tap, regardless of the mask pattern."""
+    from rslo_tpu.models.bev_net import MaskConv
+    x = jnp.full((1, 8, 8, 3), 2.5)
+    mask = jnp.asarray(rng.random((1, 8, 8, 1)) > 0.5, jnp.float32)
+    mod = MaskConv(4, 3, 1, use_bias=True, normalized=True)
+    v = mod.init(jax.random.PRNGKey(0), x, mask)
+    v = jax.tree.map(jnp.ones_like, v)  # all-ones kernel, bias=1
+    y, m = mod.apply(v, x, mask)
+    # y = sum over valid taps of (1 * 2.5 * sum_c 1) / count + 1
+    want = 2.5 * 3 + 1.0
+    valid = np.asarray(m[0, :, :, 0]) > 0
+    np.testing.assert_allclose(np.asarray(y[0][valid]), want, rtol=1e-5)
+    # propagated mask == max-pooled mask
+    from rslo_tpu.models.bev_net import max_pool_mask
+    np.testing.assert_array_equal(np.asarray(m),
+                                  np.asarray(max_pool_mask(mask, 3, 1)))
+
+
+def test_sparse_conv_type_forward(rng):
+    """conv_type='sparse_conv' wires through the BEV net."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = cfg.replace(odom=dataclasses.replace(
+        cfg.odom, conv_type="sparse_conv"))
+    net = OdomNet(cfg)
+    ex = make_example(rng, cfg)
+    variables = net.init(jax.random.PRNGKey(0), ex, train=False)
+    preds = net.apply(variables, ex, train=False)
+    assert np.isfinite(np.asarray(preds["odometry"])).all()
