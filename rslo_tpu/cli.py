@@ -179,7 +179,8 @@ def cmd_evaluate(args):
     cfg = _load_cfg(args.config)
     mesh = data_mesh()
     trainer = Trainer(cfg, args.model_dir, mesh, rank0=is_rank0())
-    seq_len = 3 if (args.refine or args.refine_ba) else 2
+    seq_len = 3 if (args.refine or args.refine_ba or
+                    args.refine_loops) else 2
     if args.synthetic:
         cfg2 = cfg.replace(data=dataclasses.replace(cfg.data,
                                                     seq_length=seq_len))
@@ -197,11 +198,14 @@ def cmd_evaluate(args):
     ex0["odometry"] = jnp.asarray(b0["odometry"][0])
     state = trainer.init_state(ex0)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if args.refine or args.refine_ba:
+    if args.refine or args.refine_ba or args.refine_loops:
         results = run_eval_refined(
             trainer.net, variables, dataset, cfg, mesh,
             trainer.eval_fn(), trainer.logger,
-            max_windows=args.max_windows, use_ba=args.refine_ba)
+            max_windows=args.max_windows, use_ba=args.refine_ba,
+            use_loops=args.refine_loops,
+            loop_min_separation=args.loop_min_separation,
+            loop_score_threshold=args.loop_score_threshold)
     else:
         results = run_eval(trainer.net, variables, dataset, cfg, mesh,
                            trainer.eval_fn(), trainer.logger,
@@ -247,6 +251,11 @@ def main(argv=None):
     e.add_argument("--refine_ba", action="store_true",
                    help="refine with geometric bundle adjustment "
                         "(landmark tracks from the raw clouds)")
+    e.add_argument("--refine_loops", action="store_true",
+                   help="close trajectory loops (polar-descriptor "
+                        "place recognition + ICP edges + pose graph)")
+    e.add_argument("--loop_min_separation", type=int, default=50)
+    e.add_argument("--loop_score_threshold", type=float, default=0.8)
     e.set_defaults(fn=cmd_evaluate)
 
     b = sub.add_parser("bench")

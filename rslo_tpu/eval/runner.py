@@ -108,7 +108,10 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
                      max_windows: int | None = None,
                      window: int = 64, overlap: int = 16,
                      iters: int = 8, use_ba: bool = False,
-                     ba_points: int = 4096) -> Dict[str, dict]:
+                     ba_points: int = 4096, use_loops: bool = False,
+                     loop_min_separation: int = 50,
+                     loop_score_threshold: float = 0.8,
+                     loop_points: int = 4096) -> Dict[str, dict]:
     """Multi-frame-window eval + pose-graph refinement (driver config #4:
     the refine=True path).  Needs an eval split with seq_length >= 3 so
     windows contribute redundant (i, i+2) edges.
@@ -116,7 +119,11 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
     ``use_ba`` additionally runs geometric bundle adjustment per window
     (pgo/ba_bridge.py): the window's raw point clouds are associated into
     landmark tracks under the predicted motions and the window poses are
-    re-estimated by Schur-complement BA before the global fusion."""
+    re-estimated by Schur-complement BA before the global fusion.
+
+    ``use_loops`` runs a loop-closure pass (pgo/loop_closure.py) over
+    each sequence's fused trajectory: polar-descriptor place
+    recognition, ICP loop edges, pose-graph re-optimization."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..pgo.refine import fuse_window_odometry, window_pairs_to_edges
 
@@ -132,6 +139,18 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
     gts = np.zeros((n, n_pairs, 7), np.float32)
     seq_ids = np.zeros((n,), np.int64)
     starts = np.zeros((n,), np.int64)
+    frame_clouds: Dict[tuple, np.ndarray] = {}
+
+    def _keep_cloud(seq, frame, pts_raw):
+        if not use_loops or (seq, frame) in frame_clouds:
+            return
+        p = np.asarray(pts_raw)[:, :3].astype(np.float32)
+        step = max(1, len(p) // loop_points)
+        p = p[::step][:loop_points]
+        if len(p) < loop_points:   # pad by repetition: static ICP shapes
+            p = np.concatenate(
+                [p, p[np.arange(loop_points - len(p)) % len(p)]])
+        frame_clouds[(seq, frame)] = p
 
     t0 = time.time()
     sharding = NamedSharding(mesh, P("data"))
@@ -153,6 +172,9 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
             gts[k] = samples[d]["odometry"]
             seq_ids[k] = samples[d]["seq"]
             starts[k] = samples[d]["frames"][0]
+            for t, fr in enumerate(samples[d]["frames"]):
+                _keep_cloud(samples[d]["seq"], int(fr),
+                            samples[d]["points"][t])
             if use_ba:
                 # per-window geometric BA on the raw clouds under the
                 # predicted motions; consecutive pair motions updated
@@ -199,10 +221,29 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
                 chain[f + 1] = M[kpr]
         gt_abs = odom_to_abs_pose(gt_odoms)
         chain_abs = odom_to_abs_pose(chain)
-        results[f"seq_{int(s):02d}"] = {
+        entry = {
             "refined": evaluate_sequence(refined, gt_abs),
             "chained": evaluate_sequence(chain_abs, gt_abs),
         }
+        if use_loops:
+            from ..geometry import np_compose_pose, np_invert_pose
+            from ..pgo.loop_closure import close_loops
+            have = [f for f in range(n_poses)
+                    if (s, int(base) + f) in frame_clouds]
+            if len(have) == n_poses:   # dense frame coverage
+                clouds = [frame_clouds[(s, int(base) + f)]
+                          for f in range(n_poses)]
+                r_odoms = np_compose_pose(np_invert_pose(refined[:-1]),
+                                          refined[1:])
+                lc_abs, cands = close_loops(
+                    r_odoms, clouds,
+                    min_separation=loop_min_separation,
+                    score_threshold=loop_score_threshold)
+                entry["loop_closed"] = evaluate_sequence(lc_abs, gt_abs)
+                entry["n_loops"] = int(len(cands.pairs))
+            else:
+                entry["n_loops"] = -1   # sparse coverage: skipped
+        results[f"seq_{int(s):02d}"] = entry
     if logger is not None:
         logger.log_text(f"refined eval: {n} windows in {elapsed:.1f}s")
     return results

@@ -69,3 +69,21 @@ def test_run_eval_refined_with_ba(setup):
     assert seqs
     for k in seqs:
         assert np.isfinite(res[k]["refined"]["t_rel_pct"])
+
+
+def test_run_eval_refined_with_loops(setup):
+    """use_loops plumbing: descriptors + detection run over the fused
+    trajectory (the short synthetic track has no revisits, so 0 loops
+    is the expected count and the loop-closed trajectory still fuses
+    from the chain graph)."""
+    cfg, net, mesh, variables, eval_step, ds3 = setup
+    res = run_eval_refined(net, variables, ds3, cfg, mesh, eval_step,
+                           max_windows=8, window=8, overlap=2, iters=3,
+                           use_loops=True, loop_min_separation=4,
+                           loop_points=512)
+    seqs = [k for k in res if k.startswith("seq_")]
+    assert seqs
+    for k in seqs:
+        assert "n_loops" in res[k]
+        if res[k]["n_loops"] >= 0:
+            assert np.isfinite(res[k]["loop_closed"]["t_rel_pct"])
