@@ -47,9 +47,12 @@ def main():
     pts = jnp.asarray(np.stack(frames))
     mask = jnp.ones(pts.shape[:2], bool)
 
+    from rslo_tpu.data.prepare import mean_vfe_ok
+    mean_mode = mean_vfe_ok(cfg)
+
     @jax.jit
     def forward(variables, pts, mask):
-        ex = prepare_example(pts, mask, vcfg)
+        ex = prepare_example(pts, mask, vcfg, mean_mode=mean_mode)
         return net.apply(variables, ex, train=False)["odometry"]
 
     t0 = time.time()

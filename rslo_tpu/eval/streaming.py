@@ -28,8 +28,12 @@ class StreamingOdometry:
         self.cfg = cfg
         vcfg = voxelizer_config(cfg)
 
+        from ..data.prepare import mean_vfe_ok
+        mean_mode = mean_vfe_ok(cfg)
+
         def _features(variables, pts, mask):
-            ex = prepare_example(pts[None], mask[None], vcfg)
+            ex = prepare_example(pts[None], mask[None], vcfg,
+                                 mean_mode=mean_mode)
             f = ex.get("voxel_features")
             if f is None:
                 from ..models.vfe import simple_voxel_xyzi_normal

@@ -71,16 +71,13 @@ class Voxels(NamedTuple):
         return self.num_points > 0
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def voxelize(points: jax.Array, point_mask: jax.Array,
-             config: VoxelizerConfig) -> Voxels:
-    """Voxelize a padded point cloud.
+def _sort_and_slot(points: jax.Array, point_mask: jax.Array,
+                   config: VoxelizerConfig):
+    """Shared grid-binning + stable argsort + slot/rank assignment.
 
-    Args:
-      points: (N, F) float array; columns 0:3 are x, y, z.
-      point_mask: (N,) bool validity of each point row.
-      config: static voxelizer parameters.
-    """
+    Returns (order, slot, rnk, keep, head, voxel_slot, czyx) where
+    ``slot`` routes sorted points to voxel slots (drop bin = V) and
+    ``keep`` applies validity + capacity + per-voxel point cap."""
     N = points.shape[0]
     V, P = config.max_voxels, config.max_points
     pr = jnp.asarray(config.point_cloud_range, points.dtype)
@@ -125,6 +122,24 @@ def voxelize(points: jax.Array, point_mask: jax.Array,
     keep = (svid < sentinel) & (voxel_slot < V) & (rank < P)
     slot = jnp.where(keep, voxel_slot, V)      # scatter-drop bin V
     rnk = jnp.where(keep, rank, 0)
+    czyx = cxyz[order][:, ::-1]
+    return order, slot, rnk, keep, head, voxel_slot, czyx
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def voxelize(points: jax.Array, point_mask: jax.Array,
+             config: VoxelizerConfig) -> Voxels:
+    """Voxelize a padded point cloud.
+
+    Args:
+      points: (N, F) float array; columns 0:3 are x, y, z.
+      point_mask: (N,) bool validity of each point row.
+      config: static voxelizer parameters.
+    """
+    N = points.shape[0]
+    V, P = config.max_voxels, config.max_points
+    order, slot, rnk, keep, head, voxel_slot, czyx = _sort_and_slot(
+        points, point_mask, config)
 
     voxels = jnp.zeros((V + 1, P) + points.shape[1:], points.dtype)
     voxels = voxels.at[slot, rnk].set(
@@ -134,7 +149,6 @@ def voxelize(points: jax.Array, point_mask: jax.Array,
         keep.astype(jnp.int32))[:V]
 
     # Coordinates per slot, (z, y, x); -1 padding.
-    czyx = cxyz[order][:, ::-1]
     coords = jnp.full((V + 1, 3), -1, jnp.int32)
     coords = coords.at[slot].set(
         jnp.where(keep[:, None], czyx, -1))[:V]
@@ -239,3 +253,36 @@ def voxelize_np(points: np.ndarray, config: VoxelizerConfig):
     mask = np.ones(len(points), bool)
     out = voxelize(jnp.asarray(points), jnp.asarray(mask), config)
     return jax.tree.map(np.asarray, out)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def voxelize_sorted_mean(points: jax.Array, point_mask: jax.Array,
+                         config: VoxelizerConfig) -> MeanVoxels:
+    """Argsort-based voxelization emitting per-voxel MEAN features.
+
+    Skips the (V, P, F) point-list scatter and its VFE re-gather: one
+    (V, F) scatter-add over the sorted stream.  Semantics are identical
+    to ``voxelize`` followed by a mean-style VFE — the same per-voxel
+    ``max_points`` cap applies (only the first P points of each voxel,
+    in stable-sorted order, contribute to the mean), so the deployed
+    SimpleVoxel_XYZINormalC pipeline (reference
+    rslo/models/voxel_encoder.py:258-280) produces bit-equal features
+    from either path."""
+    N = points.shape[0]
+    V = config.max_voxels
+    F = points.shape[1]
+    order, slot, _rnk, keep, head, voxel_slot, czyx = _sort_and_slot(
+        points, point_mask, config)
+
+    feat = jnp.where(keep[:, None], points[order], 0.0)
+    fsum = jnp.zeros((V + 1, F), points.dtype).at[slot].add(feat)[:V]
+    num_points = jnp.zeros((V + 1,), jnp.int32).at[slot].add(
+        keep.astype(jnp.int32))[:V]
+    mean = fsum / jnp.maximum(num_points, 1)[:, None].astype(points.dtype)
+
+    coords = jnp.full((V + 1, 3), -1, jnp.int32)
+    coords = coords.at[slot].set(jnp.where(keep[:, None], czyx, -1))[:V]
+    num_voxels = jnp.sum(head & (voxel_slot < V)).astype(jnp.int32)
+    pv_sorted = jnp.where(keep, slot, -1)
+    point_voxel = jnp.zeros((N,), jnp.int32).at[order].set(pv_sorted)
+    return MeanVoxels(mean, coords, num_points, num_voxels, point_voxel)

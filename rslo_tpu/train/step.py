@@ -37,9 +37,10 @@ def make_train_step(net, tx: optax.GradientTransformation,
     """
     pc_range = cfg.voxelizer.point_cloud_range
     vcfg = voxelizer_config(cfg)
-    # sort-free mean voxelizer measured SLOWER at KITTI scale (44M-cell
-    # occupancy pass vs a 131k argsort) — keep the stack path
-    mean_mode = False
+    # voxelize_sorted_mean emits the deployed mean-VFE's features
+    # directly from the sorted stream (bit-equal, ~25% faster fwd)
+    from ..data.prepare import mean_vfe_ok
+    mean_mode = mean_vfe_ok(cfg)
 
     def loss_fn(trainable, batch_stats, example):
         variables = {"params": trainable["params"],
@@ -98,7 +99,8 @@ def make_eval_step(net, cfg: PipelineCfg, mesh: Mesh):
     gathered across the mesh (the analog of evaluate.py:410-420)."""
 
     vcfg = voxelizer_config(cfg)
-    mean_mode = False  # see make_train_step note
+    from ..data.prepare import mean_vfe_ok
+    mean_mode = mean_vfe_ok(cfg)  # see make_train_step note
 
     def device_eval(params, batch_stats, batch):
         batch = jax.tree.map(lambda x: x[0], batch)

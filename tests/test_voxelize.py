@@ -124,3 +124,36 @@ def test_voxelize_mean_capacity_truncation(rng):
     # same id-ordered truncation policy
     np.testing.assert_array_equal(np.asarray(a.coords),
                                   np.asarray(b.coords))
+
+
+def test_sorted_mean_matches_list_path_plus_vfe(rng):
+    """voxelize_sorted_mean == voxelize + mean VFE, including the
+    per-voxel max_points cap and coords/mask/point_voxel."""
+    import jax.numpy as jnp
+    from rslo_tpu.ops.voxelize import (VoxelizerConfig, voxelize,
+                                       voxelize_sorted_mean)
+    from rslo_tpu.models.vfe import simple_voxel_xyzi_normal
+
+    cfg = VoxelizerConfig(point_cloud_range=(-4, -4, -1, 4, 4, 1),
+                          voxel_size=(0.5, 0.5, 0.5), max_points=3,
+                          max_voxels=128)
+    pts = rng.uniform(-5, 5, size=(600, 7)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1.2, 1.2, size=600)
+    mask = rng.random(600) > 0.1
+    a = voxelize(jnp.asarray(pts), jnp.asarray(mask), cfg)
+    b = voxelize_sorted_mean(jnp.asarray(pts), jnp.asarray(mask), cfg)
+    ref_feat = simple_voxel_xyzi_normal(a.voxels, a.num_points, 7)
+    got = np.asarray(b.features)
+    # normalize the normal columns like the VFE does
+    n = got[:, 4:7]
+    got = np.concatenate(
+        [got[:, :4],
+         n / np.sqrt((n * n).sum(-1, keepdims=True) + 1e-16)], axis=-1)
+    np.testing.assert_allclose(got, np.asarray(ref_feat),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.coords),
+                                  np.asarray(b.coords))
+    np.testing.assert_array_equal(np.asarray(a.num_points),
+                                  np.asarray(b.num_points))
+    np.testing.assert_array_equal(np.asarray(a.point_voxel),
+                                  np.asarray(b.point_voxel))
