@@ -197,24 +197,38 @@ class ConvBNRelu(nn.Module):
 class ConfidenceHead(nn.Module):
     """conv stack -> per-cell confidence (masked softmax or elu+1),
     mirroring the reference ConfidenceModule
-    (rslo/layers/confidence.py:5-38)."""
+    (rslo/layers/confidence.py:5-38).
+
+    ``tempered`` additionally returns a stop-gradient confidence at
+    that temperature from the SAME logits (the reference evaluates its
+    tempered pyramid-mask confidences on detached features — since the
+    temperature only enters the final softmax, one conv-stem pass
+    serves both)."""
     bn_type: str = "sync_bn"
     conf_type: str = "softmax"
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, extra_mask, train: bool, temperature: float = 1.0):
+    def __call__(self, x, extra_mask, train: bool,
+                 temperature: float = 1.0, tempered: float | None = None):
         h = ConvBNRelu(64, 3, self.bn_type, dtype=self.dtype)(x, train)
         h = ConvBNRelu(32, 3, self.bn_type, dtype=self.dtype)(h, train)
         logit = nn.Conv(1, (1, 1))(h).astype(jnp.float32)
-        if self.conf_type == "linear":
-            return (nn.elu(logit) + 1 + 1e-12) * \
-                (extra_mask.astype(jnp.float32) + 1e-12)
-        B, H, W, _ = logit.shape
-        masked = jnp.where(extra_mask > 0, logit, -1000.0)
-        flat = masked.reshape(B, H * W) / temperature
-        conf = jax.nn.softmax(flat, axis=-1).reshape(B, H, W, 1)
-        return conf
+
+        def finish(lg, T):
+            if self.conf_type == "linear":
+                return (nn.elu(lg) + 1 + 1e-12) * \
+                    (extra_mask.astype(jnp.float32) + 1e-12)
+            B, H, W, _ = lg.shape
+            masked = jnp.where(extra_mask > 0, lg, -1000.0)
+            flat = masked.reshape(B, H * W) / T
+            return jax.nn.softmax(flat, axis=-1).reshape(B, H, W, 1)
+
+        conf = finish(logit, temperature)
+        if tempered is None:
+            return conf
+        temp = finish(jax.lax.stop_gradient(logit), tempered)
+        return conf, jax.lax.stop_gradient(temp)
 
 
 def cycle_pairs(xs: Sequence[jax.Array]):
@@ -337,17 +351,13 @@ class BEVOdomNet(nn.Module):
 
         t_conf_head = ConfidenceHead(cfg.bn_type, cfg.conf_type, dt)
         q_conf_head = ConfidenceHead(cfg.bn_type, cfg.conf_type, dt)
-        t_conf = t_conf_head(x_tail, input_mask, train)
-        q_conf = q_conf_head(x_tail, input_mask, train)
-
-        # tempered confidences compose the hierarchical pyramid masks
-        xd = jax.lax.stop_gradient(x_tail)
-        temp_t = t_conf_head(xd, input_mask, train,
-                             temperature=cfg.conf_temperature)
-        temp_q = q_conf_head(xd, input_mask, train,
-                             temperature=cfg.conf_temperature)
-        temp_conf = jax.lax.stop_gradient(
-            jnp.concatenate([temp_t, temp_q], axis=-1))
+        # tempered (stop-gradient) confidences compose the hierarchical
+        # pyramid masks; they share the conv stem with the main confs
+        t_conf, temp_t = t_conf_head(x_tail, input_mask, train,
+                                     tempered=cfg.conf_temperature)
+        q_conf, temp_q = q_conf_head(x_tail, input_mask, train,
+                                     tempered=cfg.conf_temperature)
+        temp_conf = jnp.concatenate([temp_t, temp_q], axis=-1)
 
         pyramid = py_preds + [(tq_map * input_mask, input_mask * temp_conf)]
         # cascade: each level's mask is modulated by the avg-pooled mask of
