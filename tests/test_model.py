@@ -175,3 +175,26 @@ def test_sparse_conv_type_forward(rng):
     variables = net.init(jax.random.PRNGKey(0), ex, train=False)
     preds = net.apply(variables, ex, train=False)
     assert np.isfinite(np.asarray(preds["odometry"])).all()
+
+
+def test_confidence_head_tempered_shares_logits(rng):
+    """The tempered confidence equals a plain call at that temperature
+    (one conv-stem pass serves both); linear mode ignores temperature."""
+    from rslo_tpu.models.bev_net import ConfidenceHead
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 16)).astype(np.float32))
+    m = jnp.ones((1, 8, 8, 1), np.float32)
+    head = ConfidenceHead(bn_type="none", conf_type="softmax")
+    v = head.init(jax.random.PRNGKey(0), x, m, False)
+    conf, temp = head.apply(v, x, m, False, tempered=20.0)
+    plain = head.apply(v, x, m, False, temperature=20.0)
+    np.testing.assert_allclose(np.asarray(temp), np.asarray(plain),
+                               rtol=1e-6)
+    assert not np.allclose(np.asarray(conf), np.asarray(temp))
+    # softmax confidences sum to 1 over the masked grid
+    np.testing.assert_allclose(np.asarray(conf).sum(), 1.0, rtol=1e-5)
+    # linear mode: temperature has no effect, tempered==main
+    lin = ConfidenceHead(bn_type="none", conf_type="linear")
+    vl = lin.init(jax.random.PRNGKey(0), x, m, False)
+    c1, c2 = lin.apply(vl, x, m, False, tempered=20.0)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
+    assert (np.asarray(c1) > 0).all()
