@@ -62,6 +62,7 @@ class OdomCfg:
     num_upsample_filters: Tuple[int, ...] = (128, 64, 64)
     bn_type: str = "sync_bn"         # none | bn | sync_bn
     conv_type: str = "mask_conv"     # mask_conv | sparse_conv (normalized)
+    block_type: str = "basic"        # basic | fire | bottleneck
     conf_type: str = "softmax"       # softmax | linear
     conf_temperature: float = 20.0   # temperature for pyramid-mask confs
     cycle_constraint: bool = True

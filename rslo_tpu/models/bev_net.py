@@ -179,6 +179,71 @@ class BasicBlock(nn.Module):
         return out, (mask + m) * 0.5
 
 
+class FireBlock(nn.Module):
+    """Squeeze/expand block (custom_resnet_spc.py:89-150): parallel
+    1x1 and 3x3 branches from the same input, BN+relu each, channel
+    concat, no residual.  ``features`` is the OUTPUT width (each branch
+    emits features//2 — the reference parameterizes the per-branch
+    width instead); the propagated mask is the 3x3 branch's (the union
+    of spatial support)."""
+    features: int
+    stride: int = 1
+    bn_type: str = "sync_bn"
+    groups: int = 1
+    dtype: object = None
+    normalized: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        half = self.features // 2
+        a, _ = MaskConv(half, 1, self.stride, groups=self.groups,
+                        dtype=self.dtype, normalized=self.normalized)(
+                            x, mask)
+        a = nn.relu(Norm(self.bn_type)(a, train))
+        b, m = MaskConv(self.features - half, 3, self.stride,
+                        groups=self.groups, dtype=self.dtype,
+                        normalized=self.normalized)(x, mask)
+        b = nn.relu(Norm(self.bn_type)(b, train))
+        return jnp.concatenate([a, b], axis=-1), m
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 residual bottleneck
+    (custom_resnet_spc.py:300-352).  ``features`` is the OUTPUT width
+    (inner width features//4, the reference's planes*4 = our
+    features)."""
+    features: int
+    stride: int = 1
+    bn_type: str = "sync_bn"
+    groups: int = 1
+    dtype: object = None
+    normalized: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        inner = max(self.features // 4, 1)
+        y, m = MaskConv(inner, 1, 1, dtype=self.dtype,
+                        normalized=self.normalized)(x, mask)
+        y = nn.relu(Norm(self.bn_type)(y, train))
+        y, m = MaskConv(inner, 3, self.stride, groups=self.groups,
+                        dtype=self.dtype, normalized=self.normalized)(
+                            y, m)
+        y = nn.relu(Norm(self.bn_type)(y, train))
+        y, m = MaskConv(self.features, 1, 1, dtype=self.dtype,
+                        normalized=self.normalized)(y, m)
+        y = Norm(self.bn_type)(y, train)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x, mask = MaskConv(self.features, 1, self.stride,
+                               dtype=self.dtype,
+                               normalized=self.normalized)(x, mask)
+            x = Norm(self.bn_type)(x, train)
+        return nn.relu(x + y), (mask + m) * 0.5
+
+
+BLOCK_TYPES = {"basic": BasicBlock, "fire": FireBlock,
+               "bottleneck": BottleneckBlock}
+
+
 class ConvBNRelu(nn.Module):
     features: int
     kernel: int = 3
@@ -259,6 +324,9 @@ class BEVOdomNet(nn.Module):
         assert cfg.conv_type in ("mask_conv", "sparse_conv"), (
             f"unknown conv_type {cfg.conv_type!r}; expected 'mask_conv' "
             f"or 'sparse_conv'")
+        assert cfg.block_type in BLOCK_TYPES, (
+            f"unknown block_type {cfg.block_type!r}; expected one of "
+            f"{sorted(BLOCK_TYPES)}")
         total_stride = 1
         for s in cfg.layer_strides:
             total_stride *= s
@@ -275,20 +343,20 @@ class BEVOdomNet(nn.Module):
 
         x, m = x_pair.astype(dt), input_mask
         skips = []
+        Block = BLOCK_TYPES[cfg.block_type]
+        norm_conv = cfg.conv_type == "sparse_conv"
         for i, (n_blocks, stride, feats) in enumerate(zip(
                 cfg.layer_nums, cfg.layer_strides, cfg.num_filters)):
             groups = cfg.first_conv_groups if i == 0 else 1
-            x, m = BasicBlock(feats, stride, cfg.bn_type, groups,
-                              dtype=dt,
-                              normalized=cfg.conv_type == "sparse_conv")(
-                                  x, m, train)
+            x, m = Block(feats, stride, cfg.bn_type, groups,
+                         dtype=dt, normalized=norm_conv)(x, m, train)
             for bi in range(n_blocks - 1):
                 last = bi == n_blocks - 2
-                x, m = BasicBlock(feats, 1, cfg.bn_type, dtype=dt,
-                                  use_se=cfg.use_se and last,
-                                  use_sa=cfg.use_sa and last,
-                                  normalized=cfg.conv_type ==
-                                  "sparse_conv")(x, m, train)
+                extra = ({"use_se": cfg.use_se and last,
+                          "use_sa": cfg.use_sa and last}
+                         if Block is BasicBlock else {})
+                x, m = Block(feats, 1, cfg.bn_type, dtype=dt,
+                             normalized=norm_conv, **extra)(x, m, train)
             skips.append(ConvBNRelu(feats, 3, cfg.bn_type, dtype=dt)(
                 x, train))
 

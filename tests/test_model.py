@@ -198,3 +198,30 @@ def test_confidence_head_tempered_shares_logits(rng):
     c1, c2 = lin.apply(vl, x, m, False, tempered=20.0)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
     assert (np.asarray(c1) > 0).all()
+
+
+@pytest.mark.parametrize("block", ["fire", "bottleneck"])
+def test_block_type_variants_forward(rng, block):
+    """fire / bottleneck BEV blocks (custom_resnet_spc.py FireBlock /
+    Bottleneck) produce finite predictions at the configured widths."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = cfg.replace(odom=dataclasses.replace(cfg.odom,
+                                               block_type=block))
+    net = OdomNet(cfg)
+    ex = make_example(rng, cfg)
+    variables = net.init(jax.random.PRNGKey(0), ex, train=False)
+    preds = net.apply(variables, ex, train=False)
+    assert np.isfinite(np.asarray(preds["odometry"])).all()
+    assert preds["tq_map"].shape[-1] == 7
+
+
+def test_block_type_validation(rng):
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = cfg.replace(odom=dataclasses.replace(cfg.odom,
+                                               block_type="firee"))
+    net = OdomNet(cfg)
+    ex = make_example(rng, cfg)
+    with pytest.raises(AssertionError, match="firee"):
+        net.init(jax.random.PRNGKey(0), ex, train=False)
