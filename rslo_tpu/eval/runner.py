@@ -230,19 +230,43 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
             from ..pgo.loop_closure import close_loops
             have = [f for f in range(n_poses)
                     if (s, int(base) + f) in frame_clouds]
-            if len(have) == n_poses:   # dense frame coverage
-                clouds = [frame_clouds[(s, int(base) + f)]
-                          for f in range(n_poses)]
-                r_odoms = np_compose_pose(np_invert_pose(refined[:-1]),
-                                          refined[1:])
-                lc_abs, cands = close_loops(
+            if len(have) >= 2:
+                # Loop-close over the subsequence of frames that have
+                # clouds (all of them when windows are dense; the window
+                # start/end keyframes when windows are strided), then
+                # rigidly attach intermediate frames to the preceding
+                # corrected keyframe.
+                clouds = [frame_clouds[(s, int(base) + f)] for f in have]
+                sub = refined[np.asarray(have)]
+                r_odoms = np_compose_pose(np_invert_pose(sub[:-1]),
+                                          sub[1:])
+                # min_separation is in keyframe steps: rescale so the
+                # temporal separation matches the dense-coverage case
+                stride = max(1, (have[-1] - have[0]) //
+                             max(1, len(have) - 1))
+                sep = max(2, loop_min_separation // stride)
+                lc_sub, cands = close_loops(
                     r_odoms, clouds,
-                    min_separation=loop_min_separation,
+                    min_separation=sep,
                     score_threshold=loop_score_threshold)
+                lc_abs = refined.copy()
+                for k, f in enumerate(have):
+                    delta = np_compose_pose(
+                        lc_sub[k][None],
+                        np_invert_pose(refined[f][None]))[0]
+                    f_end = have[k + 1] if k + 1 < len(have) else n_poses
+                    for g in range(f, f_end):
+                        lc_abs[g] = np_compose_pose(
+                            delta[None], refined[g][None])[0]
                 entry["loop_closed"] = evaluate_sequence(lc_abs, gt_abs)
                 entry["n_loops"] = int(len(cands.pairs))
+                entry["loop_keyframes"] = len(have)
             else:
-                entry["n_loops"] = -1   # sparse coverage: skipped
+                entry["n_loops"] = -1   # no clouds kept: skipped
+                if logger is not None:
+                    logger.log_text(
+                        f"seq {int(s):02d}: loop closing skipped "
+                        f"({len(have)} keyframe clouds)")
         results[f"seq_{int(s):02d}"] = entry
     if logger is not None:
         logger.log_text(f"refined eval: {n} windows in {elapsed:.1f}s")

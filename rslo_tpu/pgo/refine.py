@@ -59,7 +59,9 @@ def fuse_window_odometry(pair_edges: np.ndarray, pair_motions: np.ndarray,
         sel = [(k, e) for k, e in enumerate(pair_edges)
                if start <= e[0] and e[1] < end]
         if len(sel) < 2:
-            break
+            # sparse window: leave it chained and keep refining the rest
+            start += step
+            continue
         ks = np.array([k for k, _ in sel])
         local_edges = np.stack([e - start for _, e in sel])
         # express measurements relative to the window
@@ -115,6 +117,41 @@ def window_pairs_to_edges(window_starts: List[int], pair_offsets:
     M = np.stack(M).astype(np.float32)
     Wt = (np.asarray(Wt, np.float32) if weights is not None
           else np.ones(len(E), np.float32))
-    # deduplicate repeated edges by averaging weight (consecutive pairs
-    # appear in up to L-1 windows)
+    # Deduplicate repeated edges (consecutive pairs appear in up to L-1
+    # overlapping windows): weight-average the measurements per (i, j)
+    # and sum the information weights so repeated observations count
+    # once with combined confidence, not as independent copies.
+    order = {}
+    for k in range(len(E)):
+        key = (int(E[k, 0]), int(E[k, 1]))
+        if key in order:
+            ks = order[key]
+            ks.append(k)
+        else:
+            order[key] = [k]
+    if any(len(ks) > 1 for ks in order.values()):
+        E2, M2, W2 = [], [], []
+        for key, ks in order.items():
+            w = Wt[ks]
+            wsum = float(w.sum())
+            if wsum <= 0:
+                w = np.ones(len(ks), np.float32)
+                wsum = float(len(ks))
+            ms = M[ks].copy()
+            # hemisphere-align quaternions to the first measurement
+            # before averaging (q and -q are the same rotation)
+            flip = np.sign(ms[:, 3:7] @ ms[0, 3:7]) if len(ms) > 1 else None
+            if flip is not None:
+                ms[:, 3:7] *= np.where(flip == 0, 1.0, flip)[:, None]
+            m = (ms * (w / wsum)[:, None]).sum(0)
+            # renormalize the averaged quaternion
+            qn = np.linalg.norm(m[3:7])
+            if qn > 0:
+                m[3:7] /= qn
+            E2.append(key)
+            M2.append(m.astype(np.float32))
+            W2.append(wsum)
+        E = np.asarray(E2, np.int64)
+        M = np.stack(M2)
+        Wt = np.asarray(W2, np.float32)
     return E, M, Wt
