@@ -89,10 +89,21 @@ def build_optimizer(cfg: OptimizerCfg, train_cfg: TrainCfg
     lr = onecycle_lr(cfg, train_cfg.steps)
     mom = onecycle_momentum(cfg, train_cfg.steps)
 
+    def decay_mask(params):
+        # The reference's fixed_weight_decay decays layer weights only
+        # (fastai OptimWrapper splits BN/bias into no-wd groups,
+        # fastai_optim.py:14-117).  Decaying the learned loss
+        # log-variance alphas or norm scale/bias would bias them toward
+        # 0 every step — mask them out: only 'kernel' leaves decay.
+        def is_kernel(path, _):
+            last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            return last == "kernel"
+        return jax.tree_util.tree_map_with_path(is_kernel, params)
+
     def adamw_core(learning_rate, b1):
         return optax.chain(
             optax.scale_by_adam(b1=b1, b2=0.99),
-            optax.add_decayed_weights(cfg.weight_decay),
+            optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
             optax.scale(-1.0 * learning_rate),
         )
 

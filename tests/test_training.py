@@ -57,11 +57,13 @@ def test_supervised_training_decreases_loss():
     step = make_train_step(net, tx, cfg, mesh, warmup=False,
                            self_supervised=False)
     losses = []
-    for _ in range(20):
+    for _ in range(30):
         state, m = step(state, batch)
         losses.append(float(m["translation_loss"]) +
                       float(m["rotation_loss"]))
     assert np.isfinite(losses).all()
     # supervised pose loss on a fixed batch must drop substantially
-    assert np.mean(losses[-3:]) < np.mean(losses[:3]) - 0.5, losses[:5] + \
-        losses[-3:]
+    # (averaged over 5 steps: the trajectory oscillates under the
+    # OneCycle lr peak, so single steps are noisy)
+    assert np.mean(losses[-5:]) < np.mean(losses[:3]) - 0.5, losses[:5] + \
+        losses[-5:]
