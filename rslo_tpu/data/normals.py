@@ -18,10 +18,33 @@ _NATIVE = None
 
 
 def _load_native():
+    """Load native/libprep.so, building it from prep.cpp on demand.
+
+    The binary is NOT committed (a prebuilt .so can't be verified
+    against the source and may carry host-specific instructions); it is
+    compiled here with a portable baseline arch on first use and cached
+    next to the source.  Any failure falls back to the scipy path.
+    """
     global _NATIVE
     if _NATIVE is not None:
         return _NATIVE
-    lib = Path(__file__).resolve().parents[2] / "native" / "libprep.so"
+    native_dir = Path(__file__).resolve().parents[2] / "native"
+    lib = native_dir / "libprep.so"
+    src = native_dir / "prep.cpp"
+    if not lib.exists() or (src.exists()
+                            and src.stat().st_mtime > lib.stat().st_mtime):
+        if src.exists():
+            import subprocess
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=x86-64-v2", "-fPIC",
+                     "-std=c++17", "-pthread", "-shared",
+                     "-o", str(lib) + ".tmp", str(src)],
+                    check=True, capture_output=True, timeout=120)
+                Path(str(lib) + ".tmp").replace(lib)  # atomic publish
+            except Exception:
+                _NATIVE = False
+                return _NATIVE
     if lib.exists():
         try:
             n = ctypes.CDLL(str(lib))
