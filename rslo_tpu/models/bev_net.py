@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.schema import OdomCfg
+from ..utils.mesh_axis import axis_present
 from ..geometry import (decode_tq_map, grid_cell_coords, qnormalize,
                         weighted_kabsch)
 
@@ -123,12 +124,9 @@ class Norm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mu = jnp.mean(xf, axis=axes)
             m2 = jnp.mean(xf * xf, axis=axes)
-            if self.bn_type == "sync_bn":
-                try:
-                    mu = jax.lax.pmean(mu, "data")
-                    m2 = jax.lax.pmean(m2, "data")
-                except NameError:
-                    pass  # outside a mesh: local stats
+            if self.bn_type == "sync_bn" and axis_present("data"):
+                mu = jax.lax.pmean(mu, "data")
+                m2 = jax.lax.pmean(m2, "data")
             var = jnp.maximum(m2 - mu * mu, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value +
@@ -437,7 +435,7 @@ class BEVOdomNet(nn.Module):
 
         odom = self.aggregate(tq_map, input_mask, t_conf, q_conf)
 
-        return {
+        out = {
             "odometry": odom,                      # (P, 7) [t, q]
             "tq_map": tq_map,                      # (P, H, W, 7) local
             "t_conf": t_conf,
@@ -445,6 +443,23 @@ class BEVOdomNet(nn.Module):
             "pyramid": pyramid,                    # [(map, mask*conf), ...]
             "input_mask": input_mask,
         }
+        if cfg.multi_level_odom:
+            # per-level odometry votes, coarse -> fine; the finest
+            # level is the main confidence-weighted aggregate
+            # (reference's rotation_preds/translation_preds lists,
+            # voxel_odom_net.py:597-603)
+            levels = []
+            for pmap, pmask in pyramid[:-1]:
+                g = decode_tq_map(pmap, self.point_cloud_range)
+                w = pmask[..., 0:1]
+                ws = jnp.sum(w, axis=(1, 2)) + 1e-12
+                t = jnp.sum(g[..., :3] * w, axis=(1, 2)) / ws
+                q = jnp.sum(g[..., 3:] * w, axis=(1, 2)) / ws
+                q = q / jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)
+                                 + 1e-16)
+                levels.append(jnp.concatenate([t, q], axis=-1))
+            out["odometry_levels"] = levels + [odom]
+        return out
 
     def aggregate(self, tq_map, mask, t_conf, q_conf):
         """Ego-motion voting over the dense local-pose map."""

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.schema import MiddleCfg
+from ..utils.mesh_axis import axis_present
 from ..ops import sparse_conv as sc
 
 
@@ -100,13 +101,10 @@ class MaskedBatchNorm(nn.Module):
             n = jnp.sum(m) + 1e-6
             s1 = jnp.sum(x * m, axis=0)
             s2 = jnp.sum(x * x * m, axis=0)
-            if self.sync:
-                try:
-                    n = jax.lax.psum(n, "data")
-                    s1 = jax.lax.psum(s1, "data")
-                    s2 = jax.lax.psum(s2, "data")
-                except NameError:
-                    pass
+            if self.sync and axis_present("data"):
+                n = jax.lax.psum(n, "data")
+                s1 = jax.lax.psum(s1, "data")
+                s2 = jax.lax.psum(s2, "data")
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.schema import MiddleCfg
+from ..utils.mesh_axis import axis_present
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -116,13 +117,10 @@ class DenseMaskedBN(nn.Module):
             n = jnp.sum(occ) * 1.0 + 1e-6
             s1 = jnp.sum(xf * occ, axis=(0, 1, 2, 3))
             s2 = jnp.sum(xf * xf * occ, axis=(0, 1, 2, 3))
-            if self.sync:
-                try:
-                    n = jax.lax.psum(n, "data")
-                    s1 = jax.lax.psum(s1, "data")
-                    s2 = jax.lax.psum(s2, "data")
-                except NameError:
-                    pass
+            if self.sync and axis_present("data"):
+                n = jax.lax.psum(n, "data")
+                s1 = jax.lax.psum(s1, "data")
+                s2 = jax.lax.psum(s2, "data")
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():

@@ -45,11 +45,10 @@ class Conv2dBNRelu(nn.Module):
                     padding="SAME", dtype=jnp.bfloat16,
                     param_dtype=jnp.float32)(x)
         if self.bn_type != "none":
-            axis = "data" if self.bn_type == "sync_bn" else None
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, axis_name=axis,
-                             dtype=jnp.bfloat16,
-                             param_dtype=jnp.float32)(y)
+            # hand-rolled psum BN: flax nn.BatchNorm(axis_name=...)
+            # produces NaN gradients under shard_map on this stack
+            from .bev_net import Norm
+            y = Norm(bn_type=self.bn_type)(y, train)
         return nn.relu(y)
 
 

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..utils.mesh_axis import axis_present
+
 
 class SemiGlobalSyncBN(nn.Module):
     momentum: float = 0.1
@@ -52,12 +54,9 @@ class SemiGlobalSyncBN(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mu = jnp.mean(xf, axis=axes)
             m2 = jnp.mean(xf * xf, axis=axes)
-            if self.sync:
-                try:
-                    mu = jax.lax.pmean(mu, "data")
-                    m2 = jax.lax.pmean(m2, "data")
-                except NameError:
-                    pass
+            if self.sync and axis_present("data"):
+                mu = jax.lax.pmean(mu, "data")
+                m2 = jax.lax.pmean(m2, "data")
             var = jnp.maximum(m2 - mu * mu, 0.0)
 
             def update(dyn_mom, g2, probe, val):
