@@ -75,6 +75,10 @@ class OdomCfg:
     compute_dtype: str = "bf16"      # bf16 | fp32 (heads stay fp32)
     use_se: bool = False             # SE channel attention in blocks
     use_sa: bool = False             # spatial attention in blocks
+    # aggregate an odometry vote at EVERY pyramid level (feeds the
+    # multi-pred consistency loop, voxel_odom_net.py:670-725); the
+    # deployed reference config emits a single-element list
+    multi_level_odom: bool = False
 
 
 @dataclass(frozen=True)
@@ -97,6 +101,9 @@ class LossCfg:
     pyramid_level_weights: Tuple[float, ...] = (0.01, 0.01, 0.05, 0.1, 1.0)
     # static capacity of the consistency-loss point set per frame
     max_loss_points: int = 20480
+    # consistency on the offline hier clouds instead of middle-net
+    # voxels+covs (reference fallback, voxel_odom_net.py:654)
+    use_hier_points: bool = False
 
 
 @dataclass(frozen=True)
@@ -106,12 +113,20 @@ class DataCfg:
     seq_length: int = 3
     skip: int = 1
     random_skip: bool = False
+    # repeat every review_cycle*n_samples block once (reference's
+    # review_cycle, distributed_utils.py:238-315); <= 0 disables
+    review_cycle: float = -1.0
     batch_size: int = 1
     num_workers: int = 2
     random_flip_y: bool = True
-    pose_interp_aug: bool = False
+    # pose-interpolation augmentation strength (the reference's
+    # random_aug_ratio, preprocess.py:389-458); 0 disables
+    pose_interp_ratio: float = 0.0
     max_points: int = 131072         # static host->device point capacity
     downsample_voxel_sizes: Tuple[float, ...] = (0.1,)
+    # ship the offline hier clouds to device (for loss.use_hier_points)
+    load_hier_points: bool = False
+    max_hier_points: int = 32768     # static hier-cloud capacity
     train_sequences: Tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6)
     val_sequences: Tuple[int, ...] = (7, 8, 9, 10)
     eval_train_sequences: Tuple[int, ...] = (0,)

@@ -36,36 +36,89 @@ def random_flip_y(sample: dict, rng: np.random.Generator) -> dict:
             pts[:, 5] = -pts[:, 5]       # normal y (x,y,z,i,nx,ny,nz)
         elif pts.shape[1] >= 6:
             pts[:, 4] = -pts[:, 4]       # (x,y,z,nx,ny,nz)
+    for hp in sample.get("hier_points", []):
+        hp[:, 1] = -hp[:, 1]
+        hp[:, 4] = -hp[:, 4]             # (x,y,z,nx,ny,nz) normal y
     odom = sample["odometry"]
     for k in range(len(odom)):
         odom[k] = flip_odometry(odom[k])
     return sample
 
 
+def _slerp(q0: np.ndarray, q1: np.ndarray, u: float) -> np.ndarray:
+    """Spherical interpolation between two wxyz quaternions; ``u`` may
+    lie outside [0, 1] (extrapolation, as the reference's negative
+    aug ratios do)."""
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1 = -q1
+        d = -d
+    if d > 1.0 - 1e-8:
+        out = q0 + u * (q1 - q0)            # nearly parallel: lerp
+    else:
+        th = np.arccos(np.clip(d, -1.0, 1.0))
+        out = (np.sin((1 - u) * th) * q0 + np.sin(u * th) * q1) / \
+            np.sin(th)
+    return out / np.linalg.norm(out)
+
+
 def pose_interp_aug(sample: dict, rng: np.random.Generator,
                     ratio: float) -> dict:
-    """Perturb window poses by slerping toward neighbors (the reference's
-    rand_aug_ratio path, preprocess.py:389-458) — approximated by scaling
-    each pair motion's translation and rotation by (1 + u), u ~ U(-r, r).
-    Points are NOT warped (matching the reference, which perturbs only
-    the supervision targets)."""
+    """Pose-interpolation augmentation (the reference's rand_aug_ratio
+    path, /root/reference/rslo/data/preprocess.py:389-458).
+
+    Window-relative absolute poses rel[0]=I, rel[i]=vo(pose_0, pose_i)
+    are perturbed by lerping translation / slerping rotation toward the
+    NEXT window pose by u_i ~ U(-r, r) (the last frame extrapolates
+    from its predecessor); the cyclic-VO targets are regenerated from
+    the perturbed poses, and every frame's points AND normals are
+    rigidly warped by vo(new_i, old_i) so the augmented supervision
+    stays geometrically consistent with the clouds.
+    """
     if ratio <= 0:
         return sample
-    from ..geometry.transforms import quat_to_matrix_np
-    odom = sample["odometry"]
-    for k in range(len(odom)):
-        u = 1.0 + rng.uniform(-ratio, ratio)
-        t = odom[k][:3] * u
-        # scale rotation angle via axis-angle
-        q = odom[k][3:]
-        w = np.clip(q[0], -1, 1)
-        ang = 2 * np.arccos(w)
-        axis = q[1:]
-        n = np.linalg.norm(axis)
-        if n > 1e-9 and ang > 1e-9:
-            axis = axis / n
-            ang2 = ang * u
-            q = np.concatenate([[np.cos(ang2 / 2)],
-                                axis * np.sin(ang2 / 2)])
-        odom[k] = np.concatenate([t, q]).astype(np.float32)
+    from ..geometry import np_calc_vo
+    from .dataset import generate_cyc_vo
+
+    pose_seq = sample["pose_seq"]
+    L = len(pose_seq)
+    rel = np.zeros((L, 7), np.float32)
+    rel[:, 3] = 1.0
+    for i in range(1, L):
+        rel[i] = np_calc_vo(pose_seq[0:1], pose_seq[i:i + 1])[0]
+
+    u = rng.uniform(-ratio, ratio, L)
+    new_rel = rel.copy()
+    for i in range(1, L):
+        if i + 1 < L:
+            j, ui = i + 1, u[i]
+        else:
+            j, ui = i - 1, -u[i]            # extrapolate off the last
+        new_rel[i, :3] = rel[i, :3] + (rel[j, :3] - rel[i, :3]) * ui
+        q = _slerp(rel[i, 3:], rel[j, 3:], ui)
+        new_rel[i, 3:] = q * (np.sign(q[0]) if q[0] != 0 else 1.0)
+
+    sample["odometry"] = generate_cyc_vo(new_rel)
+    # keep pose_seq consistent: pose_i' = pose_0 ∘ new_rel_i
+    from ..geometry import np_compose_pose
+    sample["pose_seq"] = np.concatenate(
+        [pose_seq[0:1],
+         np_compose_pose(np.broadcast_to(pose_seq[0:1], (L - 1, 7)),
+                         new_rel[1:])]).astype(np.float32)
+
+    for i in range(1, L):
+        T = np_calc_vo(new_rel[i:i + 1], rel[i:i + 1])[0]
+        R = quat_to_matrix_np(T[3:])
+        pts = sample["points"][i]
+        pts[:, :3] = pts[:, :3] @ R.T + T[:3]
+        if pts.shape[1] >= 7:
+            pts[:, 4:7] = pts[:, 4:7] @ R.T
+        elif pts.shape[1] >= 6:
+            pts[:, 3:6] = pts[:, 3:6] @ R.T
+        if pts.shape[1] >= 10:               # cross-normal gt columns
+            pts[:, 7:10] = pts[:, 7:10] @ R.T
+        if "hier_points" in sample:          # preprocess.py:451-458
+            hp = sample["hier_points"][i]
+            hp[:, :3] = hp[:, :3] @ R.T + T[:3]
+            hp[:, 3:6] = hp[:, 3:6] @ R.T
     return sample

@@ -61,6 +61,8 @@ class KittiWindowDataset:
                     continue
                 self.index.append((s, i))
 
+    supports_random_skip = True
+
     def __len__(self):
         return len(self.index)
 
@@ -68,23 +70,55 @@ class KittiWindowDataset:
         s, start = self.index[idx]
         return s, [start + k * self.skip for k in range(self.seq_length)]
 
+    def sample(self, idx: int, rng: np.random.Generator) -> dict:
+        """Train-time fetch with per-sample temporal-stride
+        randomization (the reference's random_skip,
+        kitti_dataset_hdf5.py:189-208): the window keeps its start frame
+        but its stride is drawn uniformly from 1..skip (or the signed
+        range when skip < 0); out-of-range frames clamp to the sequence
+        end, like the reference's boundary clamping."""
+        s, start = self.index[idx]
+        if self.skip > 0:
+            choices = np.arange(1, self.skip + 1)
+        else:
+            choices = np.concatenate([np.arange(self.skip, 0),
+                                      np.arange(1, -self.skip + 1)])
+        skip = int(rng.choice(choices))
+        n = self.readers[s].n_frames
+        frames = [min(max(start + k * skip, 0), n - 1)
+                  for k in range(self.seq_length)]
+        if any((s, fr) in CORRUPT for fr in frames):
+            return self[idx]
+        return self._load_window(s, frames)
+
     def __getitem__(self, idx: int) -> dict:
         s, frames = self.window_frames(idx)
+        return self._load_window(s, frames)
+
+    def _load_window(self, s: int, frames: list) -> dict:
         reader = self.readers[s]
-        pts, poses = [], []
+        pts, poses, hier = [], [], []
+        want_hier = self.cfg.load_hier_points
+        hkey = (f"hier_lidar_points_normals_"
+                f"{self.cfg.downsample_voxel_sizes[0]}")
         for fr in frames:
             d = reader.frame(fr, cross_normals=self.USE_CROSS_NORMALS)
             pts.append(d["points"])
             lidar_pose = cam_pose_to_lidar(d["pose"], d["Tr"])
             poses.append(RT_to_tq(lidar_pose)[0])
+            if want_hier and hkey in d:
+                hier.append(d[hkey])
         poses = np.stack(poses)
-        return {
+        out = {
             "points": pts,                     # list[L] (N_i, 7)
             "pose_seq": poses,                 # (L, 7) absolute lidar poses
             "odometry": generate_cyc_vo(poses),  # (C(L,2), 7)
             "seq": s,
             "frames": frames,
         }
+        if want_hier and len(hier) == len(frames):
+            out["hier_points"] = hier          # list[L] (Nh_i, 6)
+        return out
 
     # ---- evaluation support --------------------------------------------
     # (cross-normal variant registered below)

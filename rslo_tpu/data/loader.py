@@ -21,17 +21,22 @@ from typing import Iterator
 import numpy as np
 
 from ..config.schema import DataCfg
-from .augment import random_flip_y
+from .augment import pose_interp_aug, random_flip_y
 
 
-def pad_points(pts: np.ndarray, n_max: int):
-    """(N, F) -> ((n_max, F), (n_max,) mask), truncating by random
-    subsample when over capacity."""
+def pad_points(pts: np.ndarray, n_max: int,
+               rng: np.random.Generator | None = None):
+    """(N, F) -> ((n_max, F), (n_max,) mask).  Over-capacity clouds are
+    subsampled: seeded ``rng`` when given (reproducible train batches),
+    fixed-stride otherwise (deterministic eval)."""
     n = len(pts)
     out = np.zeros((n_max, pts.shape[1]), np.float32)
     mask = np.zeros((n_max,), bool)
     if n > n_max:
-        sel = np.random.choice(n, n_max, replace=False)
+        if rng is not None:
+            sel = rng.choice(n, n_max, replace=False)
+        else:
+            sel = (np.arange(n_max) * n) // n_max
         out[:] = pts[sel]
         mask[:] = True
     else:
@@ -40,7 +45,8 @@ def pad_points(pts: np.ndarray, n_max: int):
     return out, mask
 
 
-def collate(samples: list, cfg: DataCfg) -> dict:
+def collate(samples: list, cfg: DataCfg,
+            rng: np.random.Generator | None = None) -> dict:
     """list[D] of dataset samples -> fixed-shape device batch."""
     D = len(samples)
     L = len(samples[0]["points"])
@@ -50,35 +56,78 @@ def collate(samples: list, cfg: DataCfg) -> dict:
     P = len(samples[0]["odometry"])
     odom = np.zeros((D, P, 7), np.float32)
     meta = []
+    want_hier = "hier_points" in samples[0]
+    if want_hier:
+        Nh = cfg.max_hier_points
+        hier = np.zeros((D, L, Nh, samples[0]["hier_points"][0].shape[1]),
+                        np.float32)
+        hmask = np.zeros((D, L, Nh), bool)
     for d, s in enumerate(samples):
         for t in range(L):
-            pts[d, t], msk[d, t] = pad_points(s["points"][t], N)
+            pts[d, t], msk[d, t] = pad_points(s["points"][t], N, rng)
+            if want_hier:
+                hier[d, t], hmask[d, t] = pad_points(
+                    s["hier_points"][t], Nh, rng)
         odom[d] = s["odometry"]
         meta.append((s.get("seq", -1), tuple(s.get("frames", ()))))
-    return {"points": pts, "point_mask": msk, "odometry": odom,
-            "meta": meta}
+    out = {"points": pts, "point_mask": msk, "odometry": odom,
+           "meta": meta}
+    if want_hier:
+        out["hier_points"] = hier
+        out["hier_mask"] = hmask
+    return out
 
 
 class TrainSampler:
     """Shuffled, iteration-budget, resumable sampler (the analog of
-    DistributedGivenIterationSamplerEpoch)."""
+    DistributedGivenIterationSamplerEpoch,
+    /root/reference/rslo/utils/distributed_utils.py:238-315).
+
+    ``review_cycle`` (> 0, in epochs) repeats every block of
+    ``review_cycle * n`` samples once immediately — the reference's
+    review repetition: blocks stream as B0 B0 B1 B1 ...  The
+    position→index mapping is a pure function, so resume-from-last_iter
+    works identically with or without review.
+    """
 
     def __init__(self, n_items: int, total_steps: int, batch: int,
-                 seed: int = 0, last_iter: int = -1):
+                 seed: int = 0, last_iter: int = -1,
+                 review_cycle: float = -1.0):
         self.n = n_items
         self.total = total_steps * batch
         self.seed = seed
         self.pos = (last_iter + 1) * batch
+        self.block = (int(review_cycle * n_items)
+                      if review_cycle and review_cycle > 0 else 0)
+
+    def _underlying(self, p: int) -> int:
+        """Map stream position -> position in the non-repeated shuffled
+        stream."""
+        if self.block <= 0:
+            return p
+        b = self.block
+        return (p // (2 * b)) * b + (p % (2 * b)) % b
+
+    def _index_at(self, p: int) -> int:
+        u = self._underlying(p)
+        epoch = u // self.n
+        rng = np.random.default_rng(self.seed + epoch)
+        return int(rng.permutation(self.n)[u % self.n])
 
     def __iter__(self):
+        # iterate lazily, re-deriving the per-epoch permutation only on
+        # epoch boundaries
+        perm = None
+        perm_epoch = -1
         while True:
-            epoch = self.pos // self.n
-            rng = np.random.default_rng(self.seed + epoch)
-            perm = rng.permutation(self.n)
-            start = self.pos % self.n
-            for i in range(start, self.n):
-                yield int(perm[i])
-                self.pos += 1
+            u = self._underlying(self.pos)
+            epoch = u // self.n
+            if epoch != perm_epoch:
+                perm = np.random.default_rng(
+                    self.seed + epoch).permutation(self.n)
+                perm_epoch = epoch
+            yield int(perm[u % self.n])
+            self.pos += 1
 
 
 class DataLoader:
@@ -91,11 +140,13 @@ class DataLoader:
         self.train = train
         if train:
             self.sampler = iter(TrainSampler(len(dataset), total_steps,
-                                             device_batch, seed, last_iter))
+                                             device_batch, seed, last_iter,
+                                             review_cycle=cfg.review_cycle))
         else:
             self.sampler = iter(range(len(dataset)))
         self._seed = seed + 17
         self._seq_no = 0
+        self._batch_no = 0
         self.workers = num_workers or cfg.num_workers
         self._q: queue.Queue = queue.Queue(maxsize=4)
         self._stop = threading.Event()
@@ -103,12 +154,18 @@ class DataLoader:
         self._thread.start()
 
     def _fetch_one(self, idx: int, seq_no: int = 0):
-        s = self.dataset[idx]
+        # per-fetch RNG: thread-safe and reproducible per stream
+        # position (the reference samplers' per-index seeds)
+        rng = np.random.default_rng((self._seed, seq_no))
+        if self.train and getattr(self.dataset, "supports_random_skip",
+                                  False) and self.cfg.random_skip:
+            s = self.dataset.sample(idx, rng)
+        else:
+            s = self.dataset[idx]
         if self.train and self.cfg.random_flip_y:
-            # per-fetch RNG: thread-safe and reproducible per stream
-            # position (the reference samplers' per-index seeds)
-            rng = np.random.default_rng((self._seed, seq_no))
             s = random_flip_y(s, rng)
+        if self.train and self.cfg.pose_interp_ratio > 0:
+            s = pose_interp_aug(s, rng, self.cfg.pose_interp_ratio)
         return s
 
     def _run(self):
@@ -141,7 +198,13 @@ class DataLoader:
                         return
                     batch_futs = pending.pop(0)
                     samples = [f.result() for f in batch_futs]
-                    self._q.put(collate(samples, self.cfg))
+                    # seeded per-batch rng for pad-subsampling:
+                    # reproducible regardless of thread schedule
+                    rng = (np.random.default_rng((self._seed, 9,
+                                                  self._batch_no))
+                           if self.train else None)
+                    self._batch_no += 1
+                    self._q.put(collate(samples, self.cfg, rng))
         except Exception as e:  # surface worker errors to the consumer
             self._q.put(e)
 
