@@ -74,3 +74,48 @@ def simple_voxel_radius(voxels: jax.Array, num_points: jax.Array,
     m = _voxel_mean(voxels, num_points, num_input_features)
     r = jnp.sqrt(jnp.sum(m[:, :2] ** 2, axis=-1, keepdims=True) + 1e-16)
     return jnp.concatenate([r, m[:, 2:num_input_features]], axis=-1)
+
+
+@register_vfe("SimpleVoxelXYZINormalNormalize")
+def simple_voxel_xyzi_normal_normalize(
+        voxels: jax.Array, num_points: jax.Array,
+        num_input_features: int = 7,
+        pc_range=(-70.4, -38.4, -3.0, 70.4, 38.4, 5.0)) -> jax.Array:
+    """Range-normalized mean encoder
+    (voxel_encoder.py:313-341, SimpleVoxel_XYZINormalC_Normalize):
+    xyz divided by the range maxima, intensity zeroed, normals
+    re-normalized."""
+    m = _voxel_mean(voxels, num_points, num_input_features)
+    hi = jnp.asarray(pc_range[3:6], m.dtype)
+    xyz = m[:, :3] / hi
+    normal = m[:, 4:7]
+    normal = normal / jnp.sqrt(
+        jnp.sum(normal * normal, -1, keepdims=True) + 1e-16)
+    zero_i = jnp.zeros_like(m[:, 3:4])
+    return jnp.concatenate([xyz, zero_i, normal,
+                            m[:, 7:num_input_features]], axis=-1)
+
+
+@register_vfe("SimpleVoxelBoundXYZINormal")
+def simple_voxel_bound_xyzi_normal(voxels: jax.Array,
+                                   num_points: jax.Array,
+                                   num_input_features: int = 7
+                                   ) -> jax.Array:
+    """Boundary-point encoder (voxel_encoder.py:343-374,
+    SimpleVoxel_BoundXYZINormalC): xyzi taken from the voxel's
+    closest-to-sensor point (min range) instead of the mean; the
+    normal (+extra) part stays the per-voxel mean, re-normalized.
+    Padding rows are pushed to +inf range so they never win the min."""
+    P = voxels.shape[1]
+    valid = jnp.arange(P)[None, :] < jnp.maximum(num_points, 1)[:, None]
+    rng2 = jnp.sum(voxels[:, :, :3] ** 2, axis=-1)
+    rng2 = jnp.where(valid, rng2, jnp.inf)
+    imin = jnp.argmin(rng2, axis=1)
+    xyzi = jnp.take_along_axis(
+        voxels[:, :, :4], imin[:, None, None].repeat(4, -1), axis=1)[:, 0]
+    m = _voxel_mean(voxels, num_points, num_input_features)
+    normal = m[:, 4:7]
+    normal = normal / jnp.sqrt(
+        jnp.sum(normal * normal, -1, keepdims=True) + 1e-16)
+    return jnp.concatenate([xyzi, normal, m[:, 7:num_input_features]],
+                           axis=-1)

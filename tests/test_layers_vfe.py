@@ -69,3 +69,39 @@ def test_learned_vfe_forward(rng):
     empty = np.asarray(num) == 0
     assert np.all(out[empty] == 0)
     assert np.all(np.isfinite(out))
+
+
+def test_vfe_normalize_variant(rng):
+    from rslo_tpu.models.vfe import simple_voxel_xyzi_normal_normalize
+    v = rng.normal(size=(8, 4, 7)).astype(np.float32)
+    n = rng.integers(1, 5, size=(8,))
+    for i in range(8):            # voxelizer invariant: padding is zero
+        v[i, n[i]:] = 0.0
+    out = np.asarray(simple_voxel_xyzi_normal_normalize(
+        jnp.asarray(v), jnp.asarray(n)))
+    assert out.shape == (8, 7)
+    # intensity zeroed, normals unit
+    np.testing.assert_allclose(out[:, 3], 0.0)
+    np.testing.assert_allclose(np.linalg.norm(out[:, 4:7], axis=1), 1.0,
+                               atol=1e-4)
+    # xyz scaled by range maxima
+    mean = np.stack([v[i, :n[i], :3].mean(0) for i in range(8)])
+    np.testing.assert_allclose(
+        out[:, :3], mean / np.array([70.4, 38.4, 5.0]), atol=1e-4)
+
+
+def test_vfe_bound_variant(rng):
+    from rslo_tpu.models.vfe import simple_voxel_bound_xyzi_normal
+    v = rng.normal(size=(8, 4, 7)).astype(np.float32)
+    n = rng.integers(1, 5, size=(8,))
+    for i in range(8):            # voxelizer invariant: padding is zero
+        v[i, n[i]:] = 0.0
+    out = np.asarray(simple_voxel_bound_xyzi_normal(
+        jnp.asarray(v), jnp.asarray(n)))
+    assert out.shape == (8, 7)
+    for i in range(8):
+        r = np.linalg.norm(v[i, :n[i], :3], axis=1)
+        k = int(np.argmin(r))
+        np.testing.assert_allclose(out[i, :4], v[i, k, :4], atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(out[:, 4:7], axis=1), 1.0,
+                               atol=1e-4)
