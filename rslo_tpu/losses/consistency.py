@@ -97,7 +97,7 @@ def consistency_pair(src: jax.Array, src_mask: jax.Array,
                      tgt: jax.Array, tgt_mask: jax.Array,
                      cov_tgt_spanned: jax.Array, R_pred: jax.Array,
                      *, penalize_ratio: float, reg_weight: float,
-                     icp_iter: int) -> ConsistencyOut:
+                     icp_iter: int, no_cov: bool = False) -> ConsistencyOut:
     """One frame pair.  src: (N, 3) reference-frame points; tgt: (M, 3)
     counterpart points already warped by the predicted motion; cov_src:
     (N, 7) params; cov_tgt_spanned: (M, 3, 3) already-rotated? NO —
@@ -106,34 +106,42 @@ def consistency_pair(src: jax.Array, src_mask: jax.Array,
     src = src.astype(jnp.float32)
     tgt = tgt.astype(jnp.float32)
 
-    sigma_src = span_cov(cov_src)
     R_det = jax.lax.stop_gradient(R_pred)
 
     dist, idx = nn_search(src, src_mask, tgt, tgt_mask)
     assoc = tgt[idx]
     assoc_valid = tgt_mask[idx] & src_mask
-    sigma_assoc = cov_tgt_spanned[idx]
 
     w = _cos_weight(src_normal, assoc - src)
     roi = roi_gate(dist, assoc_valid, penalize_ratio)
 
     diff = src - assoc
-    sigma = sigma_src + jnp.einsum(
-        'ij,njk,lk->nil', R_det, sigma_assoc, R_det,
-        precision=jax.lax.Precision.HIGHEST)
-    # Padded rows carry zero covariance; inverting near-zero matrices
-    # explodes the backward pass (1/det^2) into inf * masked-0 = NaN.
-    # Replace invalid rows with identity before inversion.
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=sigma.dtype), sigma.shape)
-    sigma = jnp.where(assoc_valid[:, None, None], sigma, eye)
-    sigma_inv, det = inv3x3(sigma)
-    md = jnp.einsum('ni,nij,nj->n', diff, sigma_inv, diff,
-                    precision=jax.lax.Precision.HIGHEST)
     nroi = jnp.sum(roi.astype(jnp.float32)) + 1e-12
-    data_term = jnp.sum(jnp.where(roi, md, 0.0)) / nroi
-    logdet = 0.5 * jnp.log(jnp.maximum(det, 1e-20))
-    reg_term = jnp.sum(jnp.where(roi, logdet, 0.0)) / nroi
-    loss = data_term + reg_weight * reg_term
+    if no_cov:
+        # hier-points fallback (voxel_odom_net.py:654): no covariances
+        # from the middle net — plain squared-distance data term, no
+        # log-det regularizer.
+        md = jnp.sum(diff * diff, axis=-1)
+        loss = jnp.sum(jnp.where(roi, md, 0.0)) / nroi
+    else:
+        sigma_src = span_cov(cov_src)
+        sigma_assoc = cov_tgt_spanned[idx]
+        sigma = sigma_src + jnp.einsum(
+            'ij,njk,lk->nil', R_det, sigma_assoc, R_det,
+            precision=jax.lax.Precision.HIGHEST)
+        # Padded rows carry zero covariance; inverting near-zero
+        # matrices explodes the backward pass (1/det^2) into
+        # inf * masked-0 = NaN.  Replace invalid rows with identity
+        # before inverting.
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=sigma.dtype), sigma.shape)
+        sigma = jnp.where(assoc_valid[:, None, None], sigma, eye)
+        sigma_inv, det = inv3x3(sigma)
+        md = jnp.einsum('ni,nij,nj->n', diff, sigma_inv, diff,
+                        precision=jax.lax.Precision.HIGHEST)
+        data_term = jnp.sum(jnp.where(roi, md, 0.0)) / nroi
+        logdet = 0.5 * jnp.log(jnp.maximum(det, 1e-20))
+        reg_term = jnp.sum(jnp.where(roi, logdet, 0.0)) / nroi
+        loss = data_term + reg_weight * reg_term
 
     # ---- inner ICP loop (all stop-gradient, losses.py:441-494) ----------
     src_d = jax.lax.stop_gradient(src)
@@ -166,15 +174,22 @@ def consistency_loss_pairs(src, src_mask, src_normal, cov_src,
                            icp_iter: int):
     """Vmapped over the pair axis.
 
-    src/tgt: (P, N, 3); masks: (P, N); cov_*: (P, N, 7); R_pred: (P, 3, 3);
-    t_pred: (P, 3).  ``tgt`` must already be warped by (R_pred, t_pred).
+    src/tgt: (P, N, 3); masks: (P, N); cov_*: (P, N, 7) or None (the
+    hier-points fallback — plain L2 data term, no regularizer);
+    R_pred: (P, 3, 3); t_pred: (P, 3).  ``tgt`` must already be warped
+    by (R_pred, t_pred).
     Returns (mean loss, res_R (P,3,3), res_t (P,3))."""
-    def span_all(c):
-        return span_cov(c)
-    cov_tgt_spanned = jax.vmap(span_all)(cov_tgt)
+    no_cov = cov_src is None or cov_tgt is None
+    if no_cov:
+        # dummies with the right leading shapes for vmap
+        cov_src = jnp.zeros(src.shape[:2] + (7,), jnp.float32)
+        cov_tgt_spanned = jnp.zeros(tgt.shape[:2] + (3, 3), jnp.float32)
+    else:
+        cov_tgt_spanned = jax.vmap(span_cov)(cov_tgt)
 
     fn = functools.partial(consistency_pair, penalize_ratio=penalize_ratio,
-                           reg_weight=reg_weight, icp_iter=icp_iter)
+                           reg_weight=reg_weight, icp_iter=icp_iter,
+                           no_cov=no_cov)
     out = jax.vmap(fn)(src, src_mask, src_normal, cov_src,
                        tgt, tgt_mask, cov_tgt_spanned, R_pred)
     return jnp.mean(out.loss), out.res_R, out.res_t

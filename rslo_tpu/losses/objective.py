@@ -77,52 +77,90 @@ def compute_objective(preds: Dict[str, Any], example: Dict[str, Any],
             return f[:, 0:6]
 
         pairs = _pair_indices(L)
-        src_list, tgt_list = [], []
-        for (i, j) in pairs:
-            src_list.append((pts_of(i), sub(masks[i]), sub(covs[i])))
-            tgt_list.append((pts_of(j), sub(masks[j]), sub(covs[j])))
+        use_hier = cfg.use_hier_points and "hier_points" in example
+        if use_hier:
+            # hier-points fallback (voxel_odom_net.py:654): consistency
+            # runs on the offline hierarchical clouds (xyz + normals)
+            # with NO covariance modeling.
+            hp = example["hier_points"].astype(jnp.float32)  # (L, Nh, 6)
+            hm = example["hier_mask"]                        # (L, Nh)
+            Nh = hp.shape[1]
+            stride_h = max(1, -(-Nh // cfg.max_loss_points))
 
-        src_pts = jnp.stack([s[0] for s in src_list])       # (P, V, 6)
-        src_mask = jnp.stack([s[1] for s in src_list])
-        src_cov = jnp.stack([s[2] for s in src_list])
-        tgt_pts = jnp.stack([t[0] for t in tgt_list])
-        tgt_mask = jnp.stack([t[1] for t in tgt_list])
-        tgt_cov = jnp.stack([t[2] for t in tgt_list])
+            def subh(x):
+                return x[::stride_h][:cfg.max_loss_points]
 
-        if warmup:
-            R_use = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
-                                     R_pred.shape)
-            T_use = jnp.zeros_like(T_pred)
-            icp_iter = cfg.warmup_icp_iter
+            src_pts = jnp.stack([subh(hp[i]) for (i, j) in pairs])
+            src_mask = jnp.stack([subh(hm[i]) for (i, j) in pairs])
+            tgt_pts = jnp.stack([subh(hp[j]) for (i, j) in pairs])
+            tgt_mask = jnp.stack([subh(hm[j]) for (i, j) in pairs])
+            src_cov = tgt_cov = None
         else:
-            R_use, T_use = R_pred, T_pred
-            icp_iter = cfg.icp_iter
+            src_list, tgt_list = [], []
+            for (i, j) in pairs:
+                src_list.append((pts_of(i), sub(masks[i]), sub(covs[i])))
+                tgt_list.append((pts_of(j), sub(masks[j]), sub(covs[j])))
 
-        # Warp target clouds by the predicted motion (xyz only; the
-        # normal channels feed the cosine weighting from the SRC side).
-        tgt_xyz = jnp.einsum('pij,pnj->pni', R_use, tgt_pts[..., :3],
-                             precision=jax.lax.Precision.HIGHEST) \
-            + T_use[:, None, :]
+            src_pts = jnp.stack([s[0] for s in src_list])   # (P, V, 6)
+            src_mask = jnp.stack([s[1] for s in src_list])
+            src_cov = jnp.stack([s[2] for s in src_list])
+            tgt_pts = jnp.stack([t[0] for t in tgt_list])
+            tgt_mask = jnp.stack([t[1] for t in tgt_list])
+            tgt_cov = jnp.stack([t[2] for t in tgt_list])
+
+        icp_iter = cfg.warmup_icp_iter if warmup else cfg.icp_iter
 
         # cross-normal mode: the finer supervision normals weight the
         # association instead of the network-input normals
         # (voxel_odom_net.py:602-607)
-        if "normal_gt" in preds:
+        if "normal_gt" in preds and not use_hier:
             gts = preds["normal_gt"]
             src_normals = jnp.stack([sub(gts[i]) for (i, j) in pairs])
         else:
             src_normals = src_pts[..., 3:6]
 
-        c_raw, res_R, res_t = consistency_loss_pairs(
-            src_pts[..., :3], src_mask,
-            jax.lax.stop_gradient(src_normals), src_cov,
-            tgt_xyz, tgt_mask, tgt_cov, R_use, T_use,
-            penalize_ratio=cfg.penalize_ratio, reg_weight=cfg.reg_weight,
-            icp_iter=icp_iter)
-        C_loss = cfg.consistency_weight * c_raw
-        aux["consistency_loss"] = c_raw
+        # Per-pyramid-level consistency loop (voxel_odom_net.py:670-725):
+        # each level's odometry vote warps the clouds and contributes a
+        # weighted consistency term; the ICP corrections COMPOSE across
+        # levels.  The deployed config emits a single level (the main
+        # vote), reducing to one application with weight 1.
+        levels = preds.get("odometry_levels") or [odom]
+        weights = cfg.pyramid_level_weights[-len(levels):]
+        C_raw_sum = jnp.float32(0.0)
+        res_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                 (Ppairs, 3, 3))
+        res_t = jnp.zeros((Ppairs, 3), jnp.float32)
+        for lvl, w_lvl in zip(levels, weights):
+            lvl = lvl.astype(jnp.float32)
+            if warmup:
+                R_use = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                         (Ppairs, 3, 3))
+                T_use = jnp.zeros((Ppairs, 3), jnp.float32)
+            else:
+                R_use = quat_to_matrix(lvl[:, 3:])
+                T_use = lvl[:, :3]
+            # Warp target clouds by this level's motion (xyz only; the
+            # normal channels feed the cosine weighting from SRC side).
+            tgt_xyz = jnp.einsum(
+                'pij,pnj->pni', R_use, tgt_pts[..., :3],
+                precision=jax.lax.Precision.HIGHEST) + T_use[:, None, :]
+            c_raw, rR, rt = consistency_loss_pairs(
+                src_pts[..., :3], src_mask,
+                jax.lax.stop_gradient(src_normals), src_cov,
+                tgt_xyz, tgt_mask, tgt_cov, R_use, T_use,
+                penalize_ratio=cfg.penalize_ratio,
+                reg_weight=cfg.reg_weight, icp_iter=icp_iter)
+            C_raw_sum = C_raw_sum + w_lvl * c_raw
+            # compose: res_ = r @ res_ ; res_t = r @ res_t + t
+            res_t = jnp.einsum('pij,pj->pi', rR, res_t,
+                               precision=jax.lax.Precision.HIGHEST) + rt
+            res_R = jnp.einsum('pij,pjk->pik', rR, res_R,
+                               precision=jax.lax.Precision.HIGHEST)
+        C_loss = cfg.consistency_weight * C_raw_sum
+        aux["consistency_loss"] = C_raw_sum
 
-        # Pseudo targets from the ICP correction (voxel_odom_net.py:727-735)
+        # Pseudo targets from the composed ICP correction applied to the
+        # FINAL level's prediction (voxel_odom_net.py:727-735)
         R_base = jax.lax.stop_gradient(R_use)
         T_base = jax.lax.stop_gradient(T_use)
         R_tgt = res_R @ R_base

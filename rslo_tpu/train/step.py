@@ -62,6 +62,9 @@ def make_train_step(net, tx: optax.GradientTransformation,
                                       batch["point_mask"], vcfg,
                                       mean_mode=mean_mode)
             example["odometry"] = batch["odometry"]
+            for k in ("hier_points", "hier_mask"):
+                if k in batch:
+                    example[k] = batch[k]
         trainable = {"params": state.params, "alphas": state.alphas}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (aux, new_stats)), grads = grad_fn(

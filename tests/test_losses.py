@@ -126,3 +126,81 @@ def test_consistency_icp_recovers_offset(rng):
     # solves it
     np.testing.assert_allclose(np.asarray(res_t)[0], -off, atol=5e-3)
     np.testing.assert_allclose(np.asarray(res_R)[0], I, atol=1e-3)
+
+
+def test_consistency_no_cov_recovers_offset(rng):
+    """hier-points fallback (cov=None): plain-L2 consistency still
+    recovers a translation offset through the inner ICP."""
+    N = 1024
+    pts = (rng.uniform(-20, 20, size=(N, 3)) *
+           np.array([1, 1, 0.1])).astype(np.float32)
+    nrm = np.tile(np.array([0, 0, 1], np.float32), (N, 1))
+    mask = np.ones(N, bool)
+    off = np.array([0.08, -0.05, 0.02], np.float32)
+    tgt = pts + off
+    I = np.eye(3, dtype=np.float32)
+    loss, res_R, res_t = consistency_loss_pairs(
+        jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+        jnp.asarray(nrm[None]), None,
+        jnp.asarray(tgt[None]), jnp.asarray(mask[None]),
+        None, jnp.asarray(I[None]),
+        jnp.zeros((1, 3)), penalize_ratio=0.97, reg_weight=0.005,
+        icp_iter=3)
+    np.testing.assert_allclose(np.asarray(res_t)[0], -off, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res_R)[0], I, atol=1e-3)
+    assert np.isfinite(float(loss))
+    # no log-det regularizer: identical clouds => loss ~ |off|^2 scale,
+    # strictly >= 0 (no negative logdet contributions)
+    assert float(loss) >= 0.0
+
+
+def test_multi_pred_consistency_composes(rng):
+    """Per-pyramid-level consistency (voxel_odom_net.py:670-725): with
+    two identical prediction levels the residuals compose and the
+    weighted loss uses the weight tail [0.1, 1]."""
+    from rslo_tpu.config.schema import LossCfg
+    from rslo_tpu.losses.objective import compute_objective
+
+    N = 512
+    pts = (rng.uniform(-10, 10, size=(N, 3)) *
+           np.array([1, 1, 0.1])).astype(np.float32)
+    nrm = np.tile(np.array([0, 0, 1], np.float32), (N, 1))
+    feats = jnp.asarray(np.concatenate(
+        [pts, np.zeros((N, 1), np.float32), nrm], axis=1))  # (N,7)
+    cov = np.zeros((N, 7), np.float32)
+    cov[:, :3] = 1.0
+    cov[:, 3] = 1.0
+    off = np.array([0.06, -0.04, 0.0], np.float32)
+    pts2 = pts - off    # frame 2 shifted; true motion maps 2 -> 1
+    feats2 = jnp.asarray(np.concatenate(
+        [pts2, np.zeros((N, 1), np.float32), nrm], axis=1))
+
+    odom = np.zeros((1, 7), np.float32)
+    odom[0, 3] = 1.0
+    H = W = 8
+    preds = {
+        "odometry": jnp.asarray(odom),
+        "odometry_levels": [jnp.asarray(odom), jnp.asarray(odom)],
+        "voxel_features": [feats, feats2],
+        "voxel_covs": [jnp.asarray(cov), jnp.asarray(cov)],
+        "voxel_masks": [jnp.ones(N, bool)] * 2,
+        "seq_length": 2,
+        "pyramid": [],
+    }
+    cfg = LossCfg(max_loss_points=N, icp_iter=2)
+    out = compute_objective(preds, {}, {"rot": jnp.float32(0.0),
+                                        "trans": jnp.float32(0.0)},
+                            cfg, (-10, -10, -1, 10, 10, 1),
+                            warmup=False, self_supervised=True)
+    assert np.isfinite(float(out.total))
+    # single-level run for comparison
+    preds1 = dict(preds)
+    preds1["odometry_levels"] = [jnp.asarray(odom)]
+    out1 = compute_objective(preds1, {}, {"rot": jnp.float32(0.0),
+                                          "trans": jnp.float32(0.0)},
+                             cfg, (-10, -10, -1, 10, 10, 1),
+                             warmup=False, self_supervised=True)
+    # identical levels: raw consistency scales by (0.1 + 1)/1
+    np.testing.assert_allclose(float(out.aux["consistency_loss"]),
+                               1.1 * float(out1.aux["consistency_loss"]),
+                               rtol=1e-4)

@@ -225,3 +225,29 @@ def test_block_type_validation(rng):
     ex = make_example(rng, cfg)
     with pytest.raises(AssertionError, match="firee"):
         net.init(jax.random.PRNGKey(0), ex, train=False)
+
+
+def test_multi_level_odom_output(rng):
+    """odom.multi_level_odom emits per-pyramid-level odometry votes
+    (coarse -> fine, final = the main conf-weighted vote)."""
+    import dataclasses
+    import jax
+    from rslo_tpu.models.net import OdomNet
+    from rslo_tpu.data.prepare import prepare_example, voxelizer_config
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        middle=dataclasses.replace(cfg.middle, name="PillarMiddleCov"),
+        odom=dataclasses.replace(cfg.odom, multi_level_odom=True))
+    net = OdomNet(cfg)
+    ex = make_example(rng, cfg, L=2)
+    variables = net.init(jax.random.PRNGKey(0), ex, train=False)
+    preds = net.apply(variables, ex, train=False)
+    levels = preds["odometry_levels"]
+    # deep supervision at 2 coarser levels + the final vote
+    assert len(levels) == len(cfg.odom.upsample_strides)
+    for lv in levels:
+        assert lv.shape == preds["odometry"].shape
+        assert np.isfinite(np.asarray(lv)).all()
+    np.testing.assert_allclose(np.asarray(levels[-1]),
+                               np.asarray(preds["odometry"]))
