@@ -205,7 +205,9 @@ def cmd_evaluate(args):
             max_windows=args.max_windows, use_ba=args.refine_ba,
             use_loops=args.refine_loops,
             loop_min_separation=args.loop_min_separation,
-            loop_score_threshold=args.loop_score_threshold)
+            loop_score_threshold=args.loop_score_threshold,
+            eval_step_cov=(trainer.eval_fn(with_cov=True)
+                           if args.refine_ba else None))
     else:
         results = run_eval(trainer.net, variables, dataset, cfg, mesh,
                            trainer.eval_fn(), trainer.logger,

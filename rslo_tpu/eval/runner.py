@@ -111,15 +111,21 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
                      ba_points: int = 4096, use_loops: bool = False,
                      loop_min_separation: int = 50,
                      loop_score_threshold: float = 0.8,
-                     loop_points: int = 4096) -> Dict[str, dict]:
+                     loop_points: int = 4096,
+                     eval_step_cov=None) -> Dict[str, dict]:
     """Multi-frame-window eval + pose-graph refinement (driver config #4:
     the refine=True path).  Needs an eval split with seq_length >= 3 so
     windows contribute redundant (i, i+2) edges.
 
     ``use_ba`` additionally runs geometric bundle adjustment per window
-    (pgo/ba_bridge.py): the window's raw point clouds are associated into
+    (pgo/ba_bridge.py): the window's point clouds are associated into
     landmark tracks under the predicted motions and the window poses are
-    re-estimated by Schur-complement BA before the global fusion.
+    re-estimated by Schur-complement BA before the global fusion.  When
+    ``eval_step_cov`` (make_eval_step(..., with_cov=True)) is supplied,
+    BA consumes the NETWORK's voxel points with full 3x3
+    covariance-whitened observations (cov_sqrt_info) — the reference's
+    3D inherent error model (losses.py:422-437) driving the north-star
+    refinement; otherwise raw clouds with unit weights.
 
     ``use_loops`` runs a loop-closure pass (pgo/loop_closure.py) over
     each sequence's fused trajectory: polar-descriptor place
@@ -154,6 +160,7 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
 
     t0 = time.time()
     sharding = NamedSharding(mesh, P("data"))
+    use_cov_ba = use_ba and eval_step_cov is not None
     i = 0
     while i < n:
         idxs = [min(i + d, n - 1) for d in range(D)]
@@ -161,9 +168,18 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
         batch = collate(samples, cfg.data)
         batch.pop("meta")
         batch = jax.device_put(jax.tree.map(jnp.asarray, batch), sharding)
-        out = np.asarray(eval_step(variables["params"],
-                                   variables.get("batch_stats", {}),
-                                   batch))
+        if use_cov_ba:
+            out, vox_pts, vox_covs, vox_msk = eval_step_cov(
+                variables["params"], variables.get("batch_stats", {}),
+                batch)
+            out = np.asarray(out)
+            vox_pts = np.asarray(vox_pts)
+            vox_covs = np.asarray(vox_covs)
+            vox_msk = np.asarray(vox_msk)
+        else:
+            out = np.asarray(eval_step(variables["params"],
+                                       variables.get("batch_stats", {}),
+                                       batch))
         for d in range(D):
             k = i + d
             if k >= n:
@@ -176,17 +192,32 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
                 _keep_cloud(samples[d]["seq"], int(fr),
                             samples[d]["points"][t])
             if use_ba:
-                # per-window geometric BA on the raw clouds under the
-                # predicted motions; consecutive pair motions updated
-                from ..pgo.ba_bridge import refine_window_ba
+                from ..geometry import np_calc_vo
+                from ..pgo.ba_bridge import (cov_sqrt_info,
+                                             refine_window_ba)
                 consec = [preds[k][offsets.index((t, t + 1))]
                           for t in range(L - 1)]
-                pts = [np.asarray(samples[d]["points"][t])[:, :3]
-                       [::max(1, len(samples[d]["points"][t]) //
-                              ba_points)]
-                       for t in range(L)]
-                refined_poses = refine_window_ba(pts, np.stack(consec))
-                from ..geometry import np_calc_vo
+                if use_cov_ba:
+                    # network voxel centroids + full-covariance
+                    # whitening from the uncertainty head
+                    pts, wts = [], []
+                    for t in range(L):
+                        m = vox_msk[d, t]
+                        p = vox_pts[d, t][m]
+                        c = vox_covs[d, t][m]
+                        step_n = max(1, len(p) // ba_points)
+                        pts.append(p[::step_n][:ba_points])
+                        wts.append(cov_sqrt_info(
+                            c[::step_n][:ba_points]))
+                    refined_poses = refine_window_ba(
+                        pts, np.stack(consec), point_weights=wts)
+                else:
+                    pts = [np.asarray(samples[d]["points"][t])[:, :3]
+                           [::max(1, len(samples[d]["points"][t]) //
+                                  ba_points)]
+                           for t in range(L)]
+                    refined_poses = refine_window_ba(pts,
+                                                     np.stack(consec))
                 for p_i, (a, b) in enumerate(offsets):
                     preds[k][p_i] = np_calc_vo(
                         refined_poses[a][None], refined_poses[b][None])[0]

@@ -44,7 +44,10 @@ class BAProblem(NamedTuple):
     landmarks: (K, 3) initial world positions.
     obs_pose: (O,) int32; obs_lm: (O,) int32.
     obs_xyz: (O, 3) measured landmark position in the pose's frame.
-    obs_w: (O,) weights (0 disables an observation).
+    obs_w: (O,) scalar weights (0 disables an observation) OR
+      (O, 3, 3) square-root information blocks W = chol(Sigma^-1)' —
+      the full 3D error model (rslo/core/losses.py:422-437 semantics):
+      residuals/Jacobians are whitened r' = W r so r''r' = r' Sigma^-1 r.
     anchor: (W,) bool poses held fixed (gauge)."""
     poses: jax.Array
     landmarks: jax.Array
@@ -90,6 +93,13 @@ def _linearize(problem: BAProblem):
         return r, Jp, Jl
 
     r, Jp, Jl = jax.vmap(one)(poses, lms, problem.obs_xyz)
+    if problem.obs_w.ndim == 3:
+        # full-covariance whitening: (O,3,3) sqrt-information blocks
+        Wm = problem.obs_w
+        r = jnp.einsum('oab,ob->oa', Wm, r, precision=HI)
+        Jp = jnp.einsum('oab,obj->oaj', Wm, Jp, precision=HI)
+        Jl = jnp.einsum('oab,obj->oaj', Wm, Jl, precision=HI)
+        return r, Jp, Jl
     w = problem.obs_w[:, None]
     return r * w, Jp * w[..., None], Jl * w[..., None]
 

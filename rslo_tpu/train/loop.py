@@ -79,11 +79,13 @@ class Trainer:
                 self_supervised=self.self_supervised)
         return self._steps[key]
 
-    def eval_fn(self):
-        if "eval" not in self._steps:
-            self._steps["eval"] = make_eval_step(self.net, self.cfg,
-                                                 self.mesh)
-        return self._steps["eval"]
+    def eval_fn(self, with_cov: bool = False):
+        key = "eval_cov" if with_cov else "eval"
+        if key not in self._steps:
+            self._steps[key] = make_eval_step(self.net, self.cfg,
+                                              self.mesh,
+                                              with_cov=with_cov)
+        return self._steps[key]
 
     def fit(self, train_iter, state: TrainState,
             eval_hook=None, max_steps: Optional[int] = None) -> TrainState:

@@ -97,9 +97,14 @@ def make_train_step(net, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(net, cfg: PipelineCfg, mesh: Mesh):
+def make_eval_step(net, cfg: PipelineCfg, mesh: Mesh,
+                   with_cov: bool = False):
     """(state, example) -> (P, 7) odometry predictions per device sample,
-    gathered across the mesh (the analog of evaluate.py:410-420)."""
+    gathered across the mesh (the analog of evaluate.py:410-420).
+
+    ``with_cov=True`` additionally returns the per-frame voxel point
+    sets and covariance params (for covariance-weighted BA refinement):
+    (odom (D,P,7), pts (D,L,V,3), covs (D,L,V,7), mask (D,L,V))."""
 
     vcfg = voxelizer_config(cfg)
     from ..data.prepare import mean_vfe_ok
@@ -116,12 +121,20 @@ def make_eval_step(net, cfg: PipelineCfg, mesh: Mesh):
         variables = {"params": params, "batch_stats": batch_stats}
         preds = net.apply(variables, example, train=False)
         odom = preds["odometry"].astype(jnp.float32)
+        if with_cov:
+            pts = jnp.stack([f[:, :3].astype(jnp.float32)
+                             for f in preds["voxel_features"]])
+            covs = jnp.stack([c.astype(jnp.float32)
+                              for c in preds["voxel_covs"]])
+            msk = jnp.stack(preds["voxel_masks"])
+            return odom[None], pts[None], covs[None], msk[None]
         return odom[None]  # restore device axis
 
+    out_specs = ((P("data"),) * 4) if with_cov else P("data")
     fn = jax.shard_map(
         device_eval, mesh=mesh,
         in_specs=(P(), P(), P("data")),
-        out_specs=P("data"),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)

@@ -74,3 +74,113 @@ def test_cov_trace_weights():
     w = cov_trace_weights(params)
     assert np.all(np.diff(w) < 0)  # bigger covariance -> smaller weight
     assert w[0] == 1.0
+
+
+def test_cov_weighting_beats_scalar_on_anisotropic_noise(rng):
+    """VERDICT r1 next #4: full-covariance whitening must beat
+    scalar-trace weighting when observation noise is anisotropic and
+    the per-point covariances describe it."""
+    import jax.numpy as jnp
+    from rslo_tpu.geometry import (np_calc_vo, np_invert_pose,
+                                   quat_to_matrix_np)
+    from rslo_tpu.pgo.ba import BAProblem, solve_ba
+    from rslo_tpu.pgo.ba_bridge import cov_sqrt_info, cov_trace_weights
+
+    # world landmarks + two extra frames with known poses
+    K = 400
+    lms = rng.uniform(-8, 8, size=(K, 3)).astype(np.float32)
+    lms[:, 2] *= 0.2
+    poses = np.zeros((3, 7), np.float32)
+    poses[:, 3] = 1.0
+    poses[1, :3] = (0.6, 0.15, 0.02)
+    poses[2, :3] = (1.2, 0.3, 0.05)
+    from rslo_tpu import geometry as G
+    q1 = np.asarray(G.qexp(jnp.asarray([0.0, 0.0, 0.02])))
+    q2 = np.asarray(G.qexp(jnp.asarray([0.0, 0.0, 0.045])))
+    poses[1, 3:] = q1
+    poses[2, 3:] = q2
+
+    # RANGE noise: large along each point's viewing ray, tiny
+    # tangentially (LiDAR-like).  The direction varies per point, so the
+    # full 3x3 model can exploit it while a scalar trace weight sees
+    # every point identically.
+    s_rad, s_tan = 0.4, 0.005
+
+    def frames_and_covs(i):
+        inv = np_invert_pose(poses[i:i + 1])[0]
+        R = quat_to_matrix_np(inv[3:])
+        local = lms @ R.T + inv[:3]
+        d = local / (np.linalg.norm(local, axis=1, keepdims=True) + 1e-9)
+        # tangent basis
+        up = np.tile(np.array([0.0, 0.0, 1.0]), (K, 1))
+        up[np.abs(d[:, 2]) > 0.9] = (1.0, 0.0, 0.0)
+        t1 = np.cross(d, up)
+        t1 /= np.linalg.norm(t1, axis=1, keepdims=True) + 1e-9
+        t2 = np.cross(d, t1)
+        noise = (d * rng.normal(0, s_rad, (K, 1)) +
+                 t1 * rng.normal(0, s_tan, (K, 1)) +
+                 t2 * rng.normal(0, s_tan, (K, 1))).astype(np.float32)
+        # cov params: cumulative eigvals (tan, tan, radial) with the
+        # eigvec quat rotating e_z onto the ray direction (span_cov's
+        # V diag(lam) V' puts lam3 on V's 3rd column)
+        cov = np.zeros((K, 7), np.float32)
+        cov[:, 0] = s_tan * s_tan
+        cov[:, 1] = 0.0
+        cov[:, 2] = s_rad * s_rad - s_tan * s_tan
+        ez = np.array([0.0, 0.0, 1.0])
+        axis = np.cross(np.tile(ez, (K, 1)), d)
+        sn = np.linalg.norm(axis, axis=1)
+        cs = d[:, 2]
+        ang = np.arctan2(sn, cs)
+        axis = axis / (sn[:, None] + 1e-12)
+        cov[:, 3] = np.cos(ang / 2)
+        cov[:, 4:7] = axis * np.sin(ang / 2)[:, None]
+        return local, noise, cov
+
+    obs_p, obs_l, obs_x = [], [], []
+    covs_per_obs = []
+    for i in range(3):
+        local, noise, cov = frames_and_covs(i)
+        for j in range(K):
+            obs_p.append(i)
+            obs_l.append(j)
+            obs_x.append(local[j] + noise[j])
+        covs_per_obs.append(cov)
+    covs_per_obs = np.concatenate(covs_per_obs)
+
+    anchor = np.zeros(3, bool)
+    anchor[0] = True
+    # perturb initial poses
+    poses0 = poses.copy()
+    poses0[1, :3] += (0.05, -0.04, 0.02)
+    poses0[2, :3] += (-0.06, 0.05, -0.02)
+
+    def solve_with(w):
+        prob = BAProblem(
+            jnp.asarray(poses0), jnp.asarray(lms + 0.0),
+            jnp.asarray(obs_p, jnp.int32), jnp.asarray(obs_l, jnp.int32),
+            jnp.asarray(np.stack(obs_x)), jnp.asarray(w),
+            jnp.asarray(anchor))
+        out, _ = solve_ba(prob, iters=6)
+        got = np.asarray(out.poses)
+        return np.linalg.norm(got[1:, :3] - poses[1:, :3])
+
+    w_scalar = cov_trace_weights(covs_per_obs)
+    W_full = cov_sqrt_info(covs_per_obs, eps=1e-6)
+    err_scalar = solve_with(w_scalar)
+    err_full = solve_with(W_full)
+    # full 3D error model must at least halve the pose error
+    assert err_full < 0.5 * err_scalar, (err_full, err_scalar)
+
+
+def test_cov_sqrt_info_whitens():
+    import jax.numpy as jnp
+    from rslo_tpu.losses.consistency import span_cov
+    from rslo_tpu.pgo.ba_bridge import cov_sqrt_info
+    cov_params = np.array([[0.01, 0.03, 0.4, 0.9, 0.1, 0.3, 0.2]],
+                          np.float32)
+    W = cov_sqrt_info(cov_params, eps=1e-4)[0]
+    sigma = np.asarray(span_cov(jnp.asarray(cov_params)))[0] + \
+        1e-4 * np.eye(3)
+    np.testing.assert_allclose(W.T @ W, np.linalg.inv(sigma),
+                               rtol=1e-3, atol=1e-3)

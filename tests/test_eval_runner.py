@@ -71,6 +71,22 @@ def test_run_eval_refined_with_ba(setup):
         assert np.isfinite(res[k]["refined"]["t_rel_pct"])
 
 
+def test_run_eval_refined_with_cov_ba(setup):
+    """Covariance-weighted BA path (VERDICT r1 next #4): the eval step
+    returns the network's voxel points + cov params and run_eval_refined
+    whitens the BA observations with the full 3x3 information blocks."""
+    cfg, net, mesh, variables, eval_step, ds3 = setup
+    eval_step_cov = make_eval_step(net, cfg, mesh, with_cov=True)
+    res = run_eval_refined(net, variables, ds3, cfg, mesh, eval_step,
+                           max_windows=8, window=8, overlap=2, iters=3,
+                           use_ba=True, ba_points=512,
+                           eval_step_cov=eval_step_cov)
+    seqs = [k for k in res if k.startswith("seq_")]
+    assert seqs
+    for k in seqs:
+        assert np.isfinite(res[k]["refined"]["t_rel_pct"])
+
+
 def test_run_eval_refined_with_loops(setup):
     """use_loops plumbing: descriptors + detection run over the fused
     trajectory (the short synthetic track has no revisits, so 0 loops
