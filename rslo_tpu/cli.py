@@ -213,6 +213,8 @@ def cmd_evaluate(args):
                            trainer.eval_fn(), trainer.logger,
                            max_windows=args.max_windows)
     print(json.dumps(results, indent=2, default=str))
+    out = Path(args.model_dir) / "eval_results.json"
+    out.write_text(json.dumps(results, indent=1, default=str))
 
 
 def cmd_bench(args):

@@ -43,6 +43,15 @@ class MiddleCfg:
     name: str = "SparseMiddleCov"
     bn_type: str = "none"            # none | bn  (per-voxel feature BN)
     num_input_features: int = 7
+    # execution engine for SparseMiddleCov: "rulebook" (sorted levels +
+    # gather-matmul; architecture-exact oracle) or "tiles" (dense 8^3
+    # tile blocks + batched lax.conv; the TPU fast path)
+    engine: str = "tiles"
+    # static active-tile capacities for the tiled engine (L0, L1)
+    tile_capacities: Tuple[int, ...] = (16384, 8192)
+    # static tile shape (z, y, x), even dims; short-z fits the thin
+    # scattered LiDAR occupancy shell (fill measured 3x better than 8^3)
+    tile_shape: Tuple[int, ...] = (2, 8, 8)
     # static per-level voxel capacities (level 0 = full res)
     level_capacities: Tuple[int, ...] = (40960, 40960, 20480, 10240)
     channels: Tuple[int, ...] = (16, 32, 64, 64)

@@ -6,11 +6,19 @@ TPU-native re-design of the reference's SpMiddleFHDWithCov2_3
 BEV at 1/8 with C*D=128 channels) plus an inverse-conv decoder from the
 1/4-res level back to full resolution emitting 7 covariance parameters
 per active voxel (cumulative eigenvalues through elu+1 + eigvec
-quaternion), but implemented on the sorted-level/rulebook engine in
-:mod:`rslo_tpu.ops.sparse_conv` rather than gather-scatter CUDA.
+quaternion).
 
-Geometry (levels + rulebooks) is built once per frame and shared by all
-layers at the same resolution — the analog of spconv's ``indice_key``.
+Two interchangeable execution engines share one parameter tree (same
+module order/names, so checkpoints and equivalence tests carry over):
+
+  * ``engine="rulebook"`` — sorted-level/rulebook gather-matmul
+    (:mod:`rslo_tpu.ops.sparse_conv`); architecture-exact oracle.
+  * ``engine="tiles"`` — tiled dense blocks + batched ``lax.conv``
+    (:mod:`rslo_tpu.ops.tiled_conv`); the TPU fast path (whole-tile
+    DMA instead of 64 B row gathers, no sorts/rulebooks).
+
+Geometry is built once per frame and shared by all layers at the same
+resolution — the analog of spconv's ``indice_key``.
 """
 from __future__ import annotations
 
@@ -23,6 +31,7 @@ from flax import linen as nn
 from ..config.schema import MiddleCfg
 from ..utils.mesh_axis import axis_present
 from ..ops import sparse_conv as sc
+from ..ops import tiled_conv as tc
 
 
 class FrameGeometry(NamedTuple):
@@ -65,19 +74,81 @@ def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
     return FrameGeometry(tuple(levels), sub_rb, tuple(down_rb), inv_rb)
 
 
+def build_tiled_geometry(coords, mask, sparse_shape, tile_capacities,
+                         tile=tc.DEFAULT_TILE) -> tc.TiledGeometry:
+    return tc.build_tiled_geometry(coords, mask, sparse_shape,
+                                   tile_capacities, tile)
+
+
+# ---- engine-dispatch op descriptors (consumed by SpConv) -----------------
+
+class SubmOp(NamedTuple):
+    lvl: tc.TileLevel
+
+
+class DownOp(NamedTuple):
+    fine: tc.TileLevel
+    coarse: tc.TileLevel
+
+
+class DownDenseOp(NamedTuple):
+    fine: tc.TileLevel
+    out_pad_shape: tuple
+    occ_out: jax.Array
+
+
+class DenseSubmOp(NamedTuple):
+    occ: jax.Array
+
+
+class DenseDownOp(NamedTuple):
+    occ_out: jax.Array
+    kernel: tuple
+    stride: tuple
+    padding: tuple
+
+
+class InvDenseOp(NamedTuple):
+    fine: tc.TileLevel
+
+
+class InvTileOp(NamedTuple):
+    coarse: tc.TileLevel
+    fine: tc.TileLevel
+
+
 class SpConv(nn.Module):
-    """One sparse conv layer: rulebook-driven gather-matmul + bias."""
+    """One sparse conv layer: params (taps, Cin, Cout) + bias, applied
+    through whichever engine the op descriptor selects."""
     features: int
     taps: int  # kernel volume
 
     @nn.compact
-    def __call__(self, feats, rulebook, out_mask):
+    def __call__(self, feats, op, out_mask=None):
         cin = feats.shape[-1]
         w = self.param("kernel", nn.initializers.he_normal(),
                        (self.taps, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        return sc.sparse_conv_apply(feats, rulebook, w, b, out_mask)
+        if isinstance(op, sc.ConvIndex):
+            return sc.sparse_conv_apply(feats, op, w, b, out_mask)
+        if isinstance(op, SubmOp):
+            return tc.subm_conv(feats, op.lvl, w, b)
+        if isinstance(op, DownOp):
+            return tc.down_conv(feats, op.fine, op.coarse, w, b)
+        if isinstance(op, DownDenseOp):
+            return tc.down_to_dense(feats, op.fine, op.out_pad_shape,
+                                    w, b, op.occ_out)
+        if isinstance(op, DenseSubmOp):
+            return tc.dense_subm_conv(feats, op.occ, w, b)
+        if isinstance(op, DenseDownOp):
+            return tc.dense_down_conv(feats, op.occ_out, w, b,
+                                      op.kernel, op.stride, op.padding)
+        if isinstance(op, InvDenseOp):
+            return tc.inverse_from_dense(feats, op.fine, w, b)
+        if isinstance(op, InvTileOp):
+            return tc.inverse_from_tiles(feats, op.coarse, op.fine, w, b)
+        raise TypeError(f"unknown conv op {type(op)}")
 
 
 class MaskedBatchNorm(nn.Module):
@@ -123,64 +194,173 @@ class SparseMiddleCov(nn.Module):
     cfg: MiddleCfg
 
     def _norm(self, x, mask, train):
+        """x: (rows, C) or an N-D block/dense tensor with matching mask
+        shape; stats are over the masked rows either way."""
+        if x.ndim > 2:
+            shp = x.shape
+            y = self._norm(x.reshape(-1, shp[-1]), mask.reshape(-1),
+                           train)
+            return y.reshape(shp)
         if self.cfg.bn_type == "none":
             return x
         return MaskedBatchNorm(sync=self.cfg.bn_type == "sync_bn")(
             x, mask, train)
 
     @nn.compact
-    def __call__(self, voxel_features: jax.Array, geo: FrameGeometry,
-                 train: bool):
-        """voxel_features: (V0, F) encoded per-voxel features aligned with
-        geo.levels[0].  Returns (bev (H, W, C*D), cov_params (V0, 7))."""
+    def __call__(self, voxel_features: jax.Array, geo, train: bool):
+        """voxel_features: (V0, F) encoded per-voxel features aligned
+        with the frame's voxel stream.  geo: FrameGeometry (rulebook
+        engine) or TiledGeometry (tiled engine).  Returns
+        (bev (H, W, C*D), cov_params (V0, 7))."""
+        if isinstance(geo, tc.TiledGeometry):
+            return self._run(voxel_features, _TiledPlan(geo), train)
+        return self._run(voxel_features, _RulebookPlan(geo), train)
+
+    def _run(self, voxel_features, plan, train):
         c0, c1, c2, c3 = self.cfg.channels
-        L = geo.levels
         relu = nn.relu
 
         def block(x, lvl_i, feats, n_layers, train):
             for _ in range(n_layers):
-                x = SpConv(feats, 27)(x, geo.sub_rb[lvl_i], L[lvl_i].mask)
-                x = self._norm(x, L[lvl_i].mask, train)
+                x = SpConv(feats, 27)(x, plan.subm(lvl_i),
+                                      plan.mask(lvl_i))
+                x = self._norm(x, plan.mask(lvl_i), train)
                 x = relu(x)
             return x
 
+        x = plan.inject(voxel_features)
         # encoder (middle_conv): L0 subm x2 -> down -> L1 subm x2 -> down
-        x = block(voxel_features, 0, c0, 2, train)
-        x = SpConv(c1, 27)(x, geo.down_rb[0], L[1].mask)
-        x = relu(self._norm(x, L[1].mask, train))
+        x = block(x, 0, c0, 2, train)
+        x = SpConv(c1, 27)(x, plan.down(0), plan.mask(1))
+        x = relu(self._norm(x, plan.mask(1), train))
         x = block(x, 1, c1, 2, train)
-        x = SpConv(c2, 27)(x, geo.down_rb[1], L[2].mask)
-        x = relu(self._norm(x, L[2].mask, train))
+        x = SpConv(c2, 27)(x, plan.down(1), plan.mask(2))
+        x = relu(self._norm(x, plan.mask(2), train))
         x_mid = x  # L2 features feed the covariance decoder
 
         # tail: L2 subm x3 -> down -> L3 subm x3 -> z-collapse to L4
         x = block(x, 2, c2, 3, train)
-        x = SpConv(c3, 27)(x, geo.down_rb[2], L[3].mask)
-        x = relu(self._norm(x, L[3].mask, train))
+        x = SpConv(c3, 27)(x, plan.down(2), plan.mask(3))
+        x = relu(self._norm(x, plan.mask(3), train))
         x = block(x, 3, c3, 3, train)
-        x = SpConv(c3, 3)(x, geo.down_rb[3], L[4].mask)
-        x = relu(self._norm(x, L[4].mask, train))
+        x = SpConv(c3, 3)(x, plan.down(3), plan.mask(4))
+        x = relu(self._norm(x, plan.mask(4), train))
 
-        # dense BEV: (nz, ny, nx, C) -> (ny, nx, nz*C)
-        dense = sc.to_dense(x, L[4])
-        nz, ny, nx, C = dense.shape
-        bev = jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * C)
+        bev = plan.to_bev(x)
 
         # covariance decoder: inverse convs back to full res (always BN,
         # mirroring the reference's plain BatchNorm1d in the decoder)
         bn = lambda: MaskedBatchNorm(sync=False)
-        y = SpConv(c1, 27)(x_mid, geo.inv_rb[0], L[1].mask)
-        y = relu(bn()(y, L[1].mask, train))
-        y = SpConv(c1, 27)(y, geo.sub_rb[1], L[1].mask)
-        y = relu(bn()(y, L[1].mask, train))
-        y = SpConv(c0, 27)(y, geo.inv_rb[1], L[0].mask)
-        y = relu(bn()(y, L[0].mask, train))
-        y = SpConv(c0, 27)(y, geo.sub_rb[0], L[0].mask)
-        y = relu(bn()(y, L[0].mask, train))
-        y = SpConv(c0, 27)(y, geo.sub_rb[0], L[0].mask)
-        y = relu(bn()(y, L[0].mask, train))
-        cov = SpConv(self.cfg.cov_channels, 27)(y, geo.sub_rb[0], L[0].mask)
+        y = SpConv(c1, 27)(x_mid, plan.inv(0), plan.mask(1))
+        y = relu(self._bn_apply(bn(), y, plan, 1, train))
+        y = SpConv(c1, 27)(y, plan.subm(1), plan.mask(1))
+        y = relu(self._bn_apply(bn(), y, plan, 1, train))
+        y = SpConv(c0, 27)(y, plan.inv(1), plan.mask(0))
+        y = relu(self._bn_apply(bn(), y, plan, 0, train))
+        y = SpConv(c0, 27)(y, plan.subm(0), plan.mask(0))
+        y = relu(self._bn_apply(bn(), y, plan, 0, train))
+        y = SpConv(c0, 27)(y, plan.subm(0), plan.mask(0))
+        y = relu(self._bn_apply(bn(), y, plan, 0, train))
+        cov = SpConv(self.cfg.cov_channels, 27)(y, plan.subm(0),
+                                                plan.mask(0))
+        cov = plan.extract_rows(cov)
         cov = jnp.concatenate(
             [nn.elu(cov[:, :3]) + 1 + 1e-6, cov[:, 3:]], axis=-1)
-        cov = jnp.where(L[0].mask[:, None], cov, 0.0)
+        cov = jnp.where(plan.row_mask()[:, None], cov, 0.0)
         return bev, cov
+
+    @staticmethod
+    def _bn_apply(mod, x, plan, lvl_i, train):
+        if x.ndim > 2:
+            shp = x.shape
+            return mod(x.reshape(-1, shp[-1]),
+                       plan.mask(lvl_i).reshape(-1),
+                       train).reshape(shp)
+        return mod(x, plan.mask(lvl_i), train)
+
+
+class _RulebookPlan:
+    """Op/mask provider for the sorted-level rulebook engine."""
+
+    def __init__(self, geo: FrameGeometry):
+        self.geo = geo
+
+    def inject(self, rows):
+        return rows
+
+    def subm(self, i):
+        return self.geo.sub_rb[i]
+
+    def down(self, i):
+        return self.geo.down_rb[i]
+
+    def inv(self, i):
+        return self.geo.inv_rb[i]
+
+    def mask(self, i):
+        return self.geo.levels[i].mask
+
+    def row_mask(self):
+        return self.geo.levels[0].mask
+
+    def extract_rows(self, cov):
+        return cov
+
+    def to_bev(self, x):
+        dense = sc.to_dense(x, self.geo.levels[4])
+        nz, ny, nx, C = dense.shape
+        return jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * C)
+
+
+class _TiledPlan:
+    """Op/mask provider for the tiled dense engine.  Levels 0-1 are
+    tile blocks, levels 2-4 dense grids; masks follow the data layout."""
+
+    def __init__(self, geo: tc.TiledGeometry):
+        self.geo = geo
+        l1 = geo.l1
+        self._pad2 = tuple(l1.tgrid[d] * l1.half[d] for d in range(3))
+
+    def inject(self, rows):
+        return tc.scatter_voxels(rows, self.geo.cell_index, self.geo.l0)
+
+    def subm(self, i):
+        if i <= 1:
+            return SubmOp((self.geo.l0, self.geo.l1)[i])
+        return DenseSubmOp((self.geo.occ2, self.geo.occ3)[i - 2])
+
+    def down(self, i):
+        g = self.geo
+        if i == 0:
+            return DownOp(g.l0, g.l1)
+        if i == 1:
+            return DownDenseOp(g.l1, self._pad2, g.occ2)
+        if i == 2:
+            return DenseDownOp(g.occ3, (3, 3, 3), (2, 2, 2), (0, 1, 1))
+        return DenseDownOp(g.occ4, (3, 1, 1), (2, 1, 1), (0, 0, 0))
+
+    def inv(self, i):
+        if i == 0:
+            return InvDenseOp(self.geo.l1)       # dense L2 -> tiled L1
+        return InvTileOp(self.geo.l1, self.geo.l0)
+
+    def mask(self, i):
+        g = self.geo
+        if i <= 1:
+            return (g.l0, g.l1)[i].occ
+        return (g.occ2, g.occ3, g.occ4)[i - 2]
+
+    def row_mask(self):
+        flat = self.geo.l0.occ.reshape(-1)
+        flat = jnp.concatenate([flat, jnp.zeros((1,), bool)])
+        return flat[self.geo.cell_index]
+
+    def extract_rows(self, cov):
+        return tc.gather_voxels(cov, self.geo.cell_index)
+
+    def to_bev(self, x):
+        # x dense (z4p, H, W, C); true z4 from occ4's shape
+        z4, H, W = self.geo.occ4.shape
+        d = x[:z4, :H, :W]
+        return jnp.transpose(d, (1, 2, 0, 3)).reshape(H, W,
+                                                      z4 * d.shape[-1])

@@ -77,9 +77,7 @@ class OdomNet(nn.Module):
             if pillar_mode:
                 bev, cov = self.middle(f, coords[t], vmask[t], train)
             else:
-                geo = build_geometry(coords[t], vmask[t],
-                                     self.sparse_shape,
-                                     self.cfg.middle.level_capacities)
+                geo = self._middle_geometry(coords[t], vmask[t])
                 bev, cov = self.middle(f, geo, train)
             bevs.append(bev[None])   # add pair-batch axis (1, H, W, C)
             covs.append(cov)
@@ -105,14 +103,23 @@ class OdomNet(nn.Module):
     # always re-encodes both frames; this is the TPU-deployment path:
     # ~18 ms/frame device compute at KITTI scale).
 
+    def _middle_geometry(self, coords, vmask):
+        """Build the engine-appropriate per-frame sparse geometry."""
+        if self.cfg.middle.engine == "tiles":
+            from .middle import build_tiled_geometry
+            return build_tiled_geometry(coords, vmask, self.sparse_shape,
+                                        self.cfg.middle.tile_capacities,
+                                        tuple(self.cfg.middle.tile_shape))
+        return build_geometry(coords, vmask, self.sparse_shape,
+                              self.cfg.middle.level_capacities)
+
     def frame_features(self, voxel_features, coords, vmask,
                        train: bool = False):
         """Encode one frame: (V, F) features + geometry -> (BEV, cov)."""
         if self.cfg.middle.name == "PillarMiddleCov":
             return self.middle(voxel_features, coords, vmask, train)
-        geo = build_geometry(coords, vmask, self.sparse_shape,
-                             self.cfg.middle.level_capacities)
-        return self.middle(voxel_features, geo, train)
+        return self.middle(voxel_features,
+                           self._middle_geometry(coords, vmask), train)
 
     def pair_predict(self, bev_prev, bev_new, train: bool = False):
         """Predict the motion from the previous frame to the new one

@@ -1,0 +1,164 @@
+"""Accuracy proxy (VERDICT r1 next #1): train + evaluate odometry
+quality end-to-end on the raycast synthetic world.
+
+No real KITTI mounts in this environment, so this is the strongest
+available stand-in for the reference's KITTI odometry benchmark
+(/root/reference/rslo/utils/kitti_evaluation.py:97-238): a persistent
+3D world rendered with occlusion/viewpoint/noise realism
+(rslo_tpu/utils/world.py), written as a KITTI raw tree, pushed through
+the PRODUCTION pipeline (create_hdf5 -> self-supervised train ->
+evaluate) for each middle-net variant, reporting t_rel / r_rel / ATE
+through the full KITTI evaluator.
+
+Stages (composable):
+  python scripts/accuracy_proxy.py build                 # render + hdf5
+  python scripts/accuracy_proxy.py train --middle PillarMiddleCov \
+      --steps 3000 [--supervised]
+  python scripts/accuracy_proxy.py eval --middle PillarMiddleCov
+  python scripts/accuracy_proxy.py report                # table stdout
+
+Artifacts under /tmp/rslo_proxy/ (tree, h5, model dirs, results json).
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+ROOT = Path(os.environ.get("RSLO_PROXY_ROOT", "/tmp/rslo_proxy"))
+TREE = ROOT / "kitti_tree"
+H5 = ROOT / "proxy.h5"
+
+# seq id -> (frames, pattern, speed m/s).  Lengths sized so the
+# standard KITTI 100-300 m segments fit (0.8-1.1 m/frame).
+SEQS = {0: (350, "curve", 8.0), 1: (350, "curve", 11.0),
+        7: (500, "loop", 8.0)}
+TRAIN_SEQS = (0, 1)
+VAL_SEQS = (7,)
+
+
+def base_cfg(middle: str, steps: int):
+    from rslo_tpu.config.schema import PipelineCfg
+    cfg = PipelineCfg()
+    cfg = cfg.replace(
+        middle=dataclasses.replace(cfg.middle, name=middle),
+        data=dataclasses.replace(
+            cfg.data, root=str(H5), train_sequences=TRAIN_SEQS,
+            val_sequences=VAL_SEQS, eval_train_sequences=(0,),
+            num_workers=2),
+        train=dataclasses.replace(cfg.train, steps=steps,
+                                  steps_per_eval=max(steps // 4, 250),
+                                  display_step=50),
+    )
+    return cfg
+
+
+def cmd_build(args):
+    """Render (optionally one seq per process: --seqs 0) + build hdf5."""
+    from rslo_tpu.utils.world import write_kitti_tree
+    TREE.mkdir(parents=True, exist_ok=True)
+    seqs = (SEQS if args.seqs is None else
+            {int(s): SEQS[int(s)] for s in args.seqs.split(",")})
+    if not args.h5_only:
+        gt = write_kitti_tree(TREE, seqs, world_seed=args.world_seed,
+                              progress=True)
+        np.savez(ROOT / f"gt_poses_{'_'.join(map(str, seqs))}.npz",
+                 **{f"seq{k}": v[0] for k, v in gt.items()})
+    if args.seqs is None or args.h5_only:
+        from rslo_tpu.cli import main
+        main(["create_hdf5", "--kitti_root", str(TREE), "--out", str(H5),
+              "--sequences", ",".join(str(s) for s in SEQS)])
+        print("proxy store ready:", H5, flush=True)
+
+
+def _model_dir(middle, supervised):
+    tag = middle + ("_sup" if supervised else "")
+    return str(ROOT / f"model_{tag}")
+
+
+def cmd_train(args):
+    from rslo_tpu.cli import main
+    cfg = base_cfg(args.middle, args.steps)
+    if args.remat is not None:
+        cfg = cfg.replace(middle=dataclasses.replace(
+            cfg.middle, remat=bool(args.remat)))
+    cfg_path = ROOT / f"train_{args.middle}.json"
+    cfg_path.write_text(cfg.to_json())
+    argv = ["train", "--config", str(cfg_path),
+            "--model_dir", _model_dir(args.middle, args.supervised)]
+    if args.supervised:
+        argv.append("--supervised")
+    main(argv)
+
+
+def cmd_eval(args):
+    from rslo_tpu.cli import main
+    cfg = base_cfg(args.middle, 100)
+    cfg_path = ROOT / f"eval_{args.middle}.json"
+    cfg_path.write_text(cfg.to_json())
+    mdir = _model_dir(args.middle, args.supervised)
+    argv = ["evaluate", "--config", str(cfg_path), "--model_dir", mdir]
+    if args.refine:
+        argv.append("--refine")
+    if args.refine_loops:
+        argv.append("--refine_loops")
+        argv += ["--loop_min_separation", "40"]
+    main(argv)
+    # cmd_evaluate writes eval_results.json into the model dir
+    res = json.loads((Path(mdir) / "eval_results.json").read_text())
+    tag = args.middle + ("_sup" if args.supervised else "")
+    out = ROOT / f"result_{tag}.json"
+    out.write_text(json.dumps(res, indent=1))
+    print("saved", out, flush=True)
+
+
+def cmd_report(args):
+    rows = []
+    for f in sorted(ROOT.glob("result_*.json")):
+        tag = f.stem[len("result_"):]
+        res = json.loads(f.read_text())
+        avg = res.get("avg", {})
+        rows.append((tag, avg.get("t_rel_pct"),
+                     avg.get("r_rel_deg_per_100m"),
+                     avg.get("ate_rmse_m")))
+    print(f"{'variant':28s} {'t_rel %':>8s} {'r_rel d/100m':>12s} "
+          f"{'ATE m':>8s}")
+    for tag, t, r, a in rows:
+        fmt = lambda v: "-" if v is None else f"{v:.3f}"
+        print(f"{tag:28s} {fmt(t):>8s} {fmt(r):>12s} {fmt(a):>8s}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build")
+    b.add_argument("--world_seed", type=int, default=0)
+    b.add_argument("--seqs", default=None,
+                   help="comma list; render only these (parallel use)")
+    b.add_argument("--h5_only", action="store_true")
+    b.set_defaults(fn=cmd_build)
+    t = sub.add_parser("train")
+    t.add_argument("--middle", default="PillarMiddleCov")
+    t.add_argument("--steps", type=int, default=3000)
+    t.add_argument("--supervised", action="store_true")
+    t.add_argument("--remat", type=int, default=None)
+    t.set_defaults(fn=cmd_train)
+    e = sub.add_parser("eval")
+    e.add_argument("--middle", default="PillarMiddleCov")
+    e.add_argument("--supervised", action="store_true")
+    e.add_argument("--refine", action="store_true")
+    e.add_argument("--refine_loops", action="store_true")
+    e.set_defaults(fn=cmd_eval)
+    r = sub.add_parser("report")
+    r.set_defaults(fn=cmd_report)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
