@@ -36,9 +36,11 @@ def main():
     import dataclasses
     cfg = PipelineCfg()  # full KITTI-scale defaults
     middle = os.environ.get("RSLO_BENCH_MIDDLE", "PillarMiddleCov")
+    engine = os.environ.get("RSLO_BENCH_ENGINE", cfg.middle.engine)
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, seq_length=2),
-        middle=dataclasses.replace(cfg.middle, name=middle))
+        middle=dataclasses.replace(cfg.middle, name=middle,
+                                   engine=engine))
     net = OdomNet(cfg)
     vcfg = voxelizer_config(cfg)
 

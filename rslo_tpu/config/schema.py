@@ -44,9 +44,17 @@ class MiddleCfg:
     bn_type: str = "none"            # none | bn  (per-voxel feature BN)
     num_input_features: int = 7
     # execution engine for SparseMiddleCov: "rulebook" (sorted levels +
-    # gather-matmul; architecture-exact oracle) or "tiles" (dense 8^3
-    # tile blocks + batched lax.conv; the TPU fast path)
-    engine: str = "tiles"
+    # gather-matmul), "band" (rulebook geometry + banded one-hot MXU
+    # gathers, ops/band_conv.py), or "tiles" (dense tile blocks +
+    # batched lax.conv).  Measured on v5e at KITTI scale the tiled
+    # engine loses (0.67 vs 2.8 fps: 1.9% L0 fill wastes 50x MXU work
+    # and the octant scatters lower badly) — see BENCH_NOTES.
+    engine: str = "rulebook"
+    # banded engine knobs: out-row block size and (subm, down, inverse)
+    # window widths — must cover the measured per-block index spreads
+    # (overflow pairs keep correctness when they don't)
+    band_block: int = 256
+    band_windows: Tuple[int, ...] = (448, 1280, 768)
     # static active-tile capacities for the tiled engine (L0, L1)
     tile_capacities: Tuple[int, ...] = (16384, 8192)
     # static tile shape (z, y, x), even dims; short-z fits the thin

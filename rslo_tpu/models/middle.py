@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..config.schema import MiddleCfg
 from ..utils.mesh_axis import axis_present
+from ..ops import band_conv as bc
 from ..ops import sparse_conv as sc
 from ..ops import tiled_conv as tc
 
@@ -78,6 +79,29 @@ def build_tiled_geometry(coords, mask, sparse_shape, tile_capacities,
                          tile=tc.DEFAULT_TILE) -> tc.TiledGeometry:
     return tc.build_tiled_geometry(coords, mask, sparse_shape,
                                    tile_capacities, tile)
+
+
+def build_band_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
+                        capacities, windows=(bc.SUBM_WINDOW,
+                                             bc.DOWN_WINDOW,
+                                             bc.INV_WINDOW),
+                        block: int = 256) -> FrameGeometry:
+    """Rulebook geometry with every ConvIndex wrapped into a banded
+    one-hot gather plan (ops/band_conv.py) — same FrameGeometry shape,
+    so the plan/provider machinery is shared with the rulebook engine."""
+    geo = build_geometry(coords, mask, sparse_shape, capacities)
+    sw, dw, iw = windows
+    sub = tuple(bc.build_band_index(rb, geo.levels[i].capacity,
+                                    block=block, window=sw)
+                for i, rb in enumerate(geo.sub_rb))
+    down = tuple(bc.build_band_index(rb, geo.levels[i].capacity,
+                                     block=block, window=dw)
+                 for i, rb in enumerate(geo.down_rb))
+    inv = (bc.build_band_index(geo.inv_rb[0], geo.levels[2].capacity,
+                               block=block, window=iw),
+           bc.build_band_index(geo.inv_rb[1], geo.levels[1].capacity,
+                               block=block, window=iw))
+    return FrameGeometry(geo.levels, sub, down, inv)
 
 
 # ---- engine-dispatch op descriptors (consumed by SpConv) -----------------
@@ -132,6 +156,8 @@ class SpConv(nn.Module):
                        jnp.float32)
         if isinstance(op, sc.ConvIndex):
             return sc.sparse_conv_apply(feats, op, w, b, out_mask)
+        if isinstance(op, bc.BandIndex):
+            return bc.band_conv_apply(feats, op, w, b, out_mask)
         if isinstance(op, SubmOp):
             return tc.subm_conv(feats, op.lvl, w, b)
         if isinstance(op, DownOp):

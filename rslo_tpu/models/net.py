@@ -110,6 +110,13 @@ class OdomNet(nn.Module):
             return build_tiled_geometry(coords, vmask, self.sparse_shape,
                                         self.cfg.middle.tile_capacities,
                                         tuple(self.cfg.middle.tile_shape))
+        if self.cfg.middle.engine == "band":
+            from .middle import build_band_geometry
+            return build_band_geometry(
+                coords, vmask, self.sparse_shape,
+                self.cfg.middle.level_capacities,
+                windows=tuple(self.cfg.middle.band_windows),
+                block=self.cfg.middle.band_block)
         return build_geometry(coords, vmask, self.sparse_shape,
                               self.cfg.middle.level_capacities)
 

@@ -1,0 +1,191 @@
+"""Banded one-hot sparse-conv engine — MXU gathers for the rulebook path.
+
+The rulebook engine (:mod:`rslo_tpu.ops.sparse_conv`) is bound by XLA
+row gathers: ``features[rulebook.idx]`` moves 64-128 B rows at ~2 GB/s
+effective, which makes every conv of the middle net gather-bound
+(~260 ms of the 353 ms two-frame forward at KITTI scale).
+
+This engine exploits the *sortedness invariant* of sparse levels: both
+the out sites and the in sites of every rulebook are sorted by
+linearized voxel id, and each kernel tap adds a constant id offset —
+so per tap the map ``out row -> in row`` is monotone, and the in rows
+needed by a *block* of B consecutive out rows live in a narrow
+contiguous window (measured on KITTI-scale frames: <= 315 rows for
+B=256 submanifold taps, <= ~1040 for stride-2 taps).  That turns the
+gather into
+
+  1. one contiguous window slice per (block, tap) — big sequential DMA
+     at near-peak HBM bandwidth, and
+  2. a (B, W) x (W, C) one-hot matmul per (block, tap) — selection run
+     on the MXU, where a "wasted" 50x of cheap FLOPs beats a 100x-off-
+     roofline gather.
+
+One-hot selection matrices depend only on the frame geometry, so they
+are built once per frame (``build_band_index``) and shared by every
+conv layer using the same rulebook — the same reuse pattern as
+spconv's ``indice_key`` (reference /root/reference/rslo/models/
+middle.py:80-245).  Rows whose window assignment overflows W (rare,
+data-dependent) are routed through a small compacted overflow pair
+list applied with a plain scatter-add, so the result is exact for any
+input.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sparse_conv import ConvIndex
+
+
+class BandIndex(NamedTuple):
+    """Banded gather plan for one rulebook (built once per frame).
+
+    base:    (nB, K) int32 window starts into the in level's rows,
+             clamped to [0, Vp_in - W].
+    onehot:  (nB, K, B, W) selection matrices (bf16), zero rows for
+             invalid / out-of-window taps.
+    ov_out:  (OV,) int32 overflow out row (sentinel Vp_out = dropped).
+    ov_in:   (OV,) int32 overflow in row.
+    ov_tap:  (OV,) int32 overflow tap.
+    v_out:   static true number of out rows.
+    v_in:    static padded in-row count the bases were clamped against.
+    """
+    base: jax.Array
+    onehot: jax.Array
+    ov_out: jax.Array
+    ov_in: jax.Array
+    ov_tap: jax.Array
+    v_out: int
+    v_in: int
+
+
+def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
+                     window: int = 448, ov_capacity: int = 4096,
+                     dtype=jnp.bfloat16) -> BandIndex:
+    """Convert a rulebook into a banded gather plan.
+
+    v_in: in level's row capacity; window slices are clamped to
+    [0, max(v_in, window) - window] (callers pad features to at least
+    ``window`` rows via :func:`band_conv_apply`).
+    """
+    V, K = rulebook.idx.shape
+    B = min(block, V)
+    nB = -(-V // B)
+    Vp = nB * B
+    Wd = min(window, max(v_in, window))
+    vp_in = max(v_in, Wd)
+
+    idx = jnp.concatenate(
+        [rulebook.idx,
+         jnp.zeros((Vp - V, K), rulebook.idx.dtype)], axis=0)
+    valid = jnp.concatenate(
+        [rulebook.valid, jnp.zeros((Vp - V, K), bool)], axis=0)
+
+    idx_b = idx.reshape(nB, B, K)
+    val_b = valid.reshape(nB, B, K)
+    big = jnp.iinfo(jnp.int32).max
+    base = jnp.min(jnp.where(val_b, idx_b, big), axis=1)      # (nB, K)
+    base = jnp.where(base == big, 0, base)
+    base = jnp.clip(base, 0, vp_in - Wd).astype(jnp.int32)
+
+    delta = idx_b - base[:, None, :]                          # (nB, B, K)
+    in_win = val_b & (delta >= 0) & (delta < Wd)
+    sel = jnp.where(in_win, delta, -1)
+    onehot = (sel[..., None] ==
+              jnp.arange(Wd, dtype=jnp.int32)).astype(dtype)
+    onehot = jnp.transpose(onehot, (0, 2, 1, 3))              # (nB,K,B,W)
+
+    # overflow pairs: valid but outside the window
+    ov_flag = (valid & ~in_win.reshape(Vp, K)).reshape(-1)
+    rank = jnp.cumsum(ov_flag.astype(jnp.int32)) - 1
+    slot = jnp.where(ov_flag & (rank < ov_capacity), rank, ov_capacity)
+    flat_out = jnp.tile(jnp.arange(Vp, dtype=jnp.int32)[:, None],
+                        (1, K)).reshape(-1)
+    flat_tap = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :],
+                        (Vp, 1)).reshape(-1)
+    ov_out = jnp.full((ov_capacity + 1,), Vp, jnp.int32).at[slot].set(
+        jnp.where(slot < ov_capacity, flat_out, Vp))[:ov_capacity]
+    ov_in = jnp.zeros((ov_capacity + 1,), jnp.int32).at[slot].set(
+        jnp.where(slot < ov_capacity, idx.reshape(-1), 0))[:ov_capacity]
+    ov_tap = jnp.zeros((ov_capacity + 1,), jnp.int32).at[slot].set(
+        jnp.where(slot < ov_capacity, flat_tap, 0))[:ov_capacity]
+    return BandIndex(base, onehot, ov_out, ov_in, ov_tap, V, vp_in)
+
+
+def band_conv_apply(features: jax.Array, band: BandIndex,
+                    weights: jax.Array, bias: jax.Array | None = None,
+                    out_mask: jax.Array | None = None,
+                    compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Sparse conv through the banded plan.
+
+    features: (V_in, Cin); weights: (K, Cin, Cout).  Returns
+    (v_out, Cout) float32.  Numerics: windows and one-hots run in
+    ``compute_dtype`` (bf16) with fp32 accumulation — selection by a
+    1.0/0.0 one-hot is exact up to the bf16 rounding of the features.
+    """
+    nB, K, B, W = band.onehot.shape
+    Cin = features.shape[-1]
+    Cout = weights.shape[-1]
+    Vp = nB * B
+
+    f = features
+    if f.shape[0] < band.v_in:
+        f = jnp.concatenate(
+            [f, jnp.zeros((band.v_in - f.shape[0], Cin), f.dtype)], 0)
+    fc = f.astype(compute_dtype)
+
+    starts = band.base.reshape(-1)
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(fc, (s, 0), (W, Cin)))(starts)
+    windows = windows.reshape(nB, K, W, Cin)
+
+    # MXU gather: (nB,K,B,W) x (nB,K,W,Cin) -> (nB,K,B,Cin)
+    g = jax.lax.dot_general(
+        band.onehot, windows,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    g = jnp.transpose(g, (0, 2, 1, 3)).reshape(Vp * K, Cin)
+
+    # exact overflow correction (rare out-of-window pairs)
+    ov_rows = jnp.where(band.ov_out < Vp,
+                        band.ov_out * K + band.ov_tap, Vp * K)
+    g = jnp.concatenate([g, jnp.zeros((1, Cin), g.dtype)], axis=0)
+    g = g.at[ov_rows].add(f[band.ov_in].astype(g.dtype))[:-1]
+
+    g = g.reshape(Vp, K * Cin)[:band.v_out].astype(compute_dtype)
+    w = weights.reshape(K * Cin, Cout).astype(compute_dtype)
+    out = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    if out_mask is not None:
+        out = jnp.where(out_mask[:, None], out, 0.0)
+    return out
+
+
+# Per-rulebook-kind window widths (measured KITTI-scale max block
+# spreads + margin; see BENCH_NOTES "banded gather"): submanifold taps
+# stay within ~315 rows of a 256-row block, stride-2 taps within ~1040,
+# inverse taps within ~550.
+SUBM_WINDOW = 448
+DOWN_WINDOW = 1280
+INV_WINDOW = 768
+
+
+def np_oracle(features, rulebook, weights, bias=None):
+    """Tiny numpy oracle for tests (dense loop over taps)."""
+    idx = np.asarray(rulebook.idx)
+    val = np.asarray(rulebook.valid)
+    f = np.asarray(features, np.float64)
+    w = np.asarray(weights, np.float64)
+    V, K = idx.shape
+    out = np.zeros((V, w.shape[-1]))
+    for i in range(V):
+        for k in range(K):
+            if val[i, k]:
+                out[i] += f[idx[i, k]] @ w[k]
+    if bias is not None:
+        out += np.asarray(bias)
+    return out

@@ -318,11 +318,12 @@ def render_sequence(world: SynthWorld, poses: np.ndarray, seed: int = 0,
 
 def write_kitti_tree(root, seqs: dict, world_seed: int = 0,
                      n_beams: int = 64, n_azimuth: int = 2048,
-                     progress: bool = False):
+                     progress: bool = False, world_kwargs: dict = None):
     """Write rendered sequences as a KITTI odometry raw tree consumable
     by ``cli create_hdf5`` (velodyne .bin + camera-frame poses + calib).
 
-    seqs: {seq_id: (n_frames, pattern, speed)}.
+    seqs: {seq_id: (n_frames, pattern, speed)}.  world_kwargs lets
+    small-scale tests shrink the world (extent / object counts).
     Returns {seq_id: (lidar_poses (N,7), odom (N-1,7))}.
     """
     from pathlib import Path
@@ -330,7 +331,7 @@ def write_kitti_tree(root, seqs: dict, world_seed: int = 0,
     Tr = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
                    [0, 0, 0, 1]], float)
     out = {}
-    world = SynthWorld(seed=world_seed)
+    world = SynthWorld(seed=world_seed, **(world_kwargs or {}))
     for seq, (n_frames, pattern, speed) in seqs.items():
         seq_dir = root / "sequences" / f"{seq:02d}"
         (seq_dir / "velodyne").mkdir(parents=True, exist_ok=True)

@@ -33,11 +33,15 @@ def timeit(name, f, *a, n=5):
     return dt
 
 
-def profile(middle_name: str):
+def profile(middle_name: str, engine: str = None):
+    import os
     cfg = PipelineCfg()
+    engine = engine or os.environ.get("RSLO_MIDDLE_ENGINE",
+                                      cfg.middle.engine)
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, seq_length=2),
-        middle=dataclasses.replace(cfg.middle, name=middle_name))
+        middle=dataclasses.replace(cfg.middle, name=middle_name,
+                                   engine=engine))
     net = OdomNet(cfg)
     vcfg = voxelizer_config(cfg)
     frames, _ = synth_sequence(seed=0, n_frames=2,

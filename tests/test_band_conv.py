@@ -1,0 +1,128 @@
+"""Banded one-hot gather engine (ops/band_conv.py) correctness.
+
+The banded plan must reproduce the plain rulebook gather-matmul conv
+exactly (fp32 compute) including the overflow path, and the full
+SparseMiddleCov under engine="band" must match engine="rulebook" to
+bf16 rounding.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rslo_tpu.config.schema import MiddleCfg
+from rslo_tpu.models.middle import (SparseMiddleCov, build_band_geometry,
+                                    build_geometry)
+from rslo_tpu.ops import band_conv as bc
+from rslo_tpu.ops import sparse_conv as sc
+
+GRID = (9, 32, 32)
+CAPS = (1024, 1024, 512, 256)
+
+
+def _level(rng, n=400, pad=112):
+    nz, ny, nx = GRID
+    ids = np.sort(rng.choice(nz * ny * nx, size=n, replace=False))
+    z = ids // (ny * nx)
+    y = (ids // nx) % ny
+    x = ids % nx
+    coords = np.concatenate([np.stack([z, y, x], -1),
+                             np.full((pad, 3), -1)]).astype(np.int32)
+    mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    return sc.with_slot_map(
+        sc.level_from_coords(jnp.asarray(coords), jnp.asarray(mask),
+                             GRID))
+
+
+def test_band_matches_rulebook_fp32():
+    rng = np.random.default_rng(0)
+    lvl = _level(rng)
+    rb = sc.build_submanifold_index(lvl)
+    V = lvl.capacity
+    feats = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    feats = jnp.where(lvl.mask[:, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    ref = sc.sparse_conv_apply(feats, rb, w, b, lvl.mask)
+    band = bc.build_band_index(rb, V, block=64, window=192,
+                               dtype=jnp.float32)
+    out = bc.band_conv_apply(feats, band, w, b, lvl.mask,
+                             compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_band_overflow_path_exact():
+    """A deliberately tiny window forces most pairs through the
+    overflow list — the result must still be exact."""
+    rng = np.random.default_rng(1)
+    lvl = _level(rng)
+    rb = sc.build_submanifold_index(lvl)
+    V = lvl.capacity
+    n_valid = int(np.asarray(rb.valid).sum())
+    feats = jnp.asarray(rng.normal(size=(V, 4)).astype(np.float32))
+    feats = jnp.where(lvl.mask[:, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32))
+
+    ref = sc.sparse_conv_apply(feats, rb, w, None, lvl.mask)
+    band = bc.build_band_index(rb, V, block=64, window=8,
+                               ov_capacity=n_valid + 64,
+                               dtype=jnp.float32)
+    n_ov = int(np.asarray((band.ov_out < band.onehot.shape[0] *
+                           band.onehot.shape[2]).sum()))
+    assert n_ov > 100           # the tiny window really overflowed
+    out = bc.band_conv_apply(feats, band, w, None, lvl.mask,
+                             compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_band_engine_matches_rulebook_middle():
+    rng = np.random.default_rng(2)
+    nz, ny, nx = 41, 64, 64
+    grid = (nz, ny, nx)
+    caps = (2048, 3072, 2048, 1024)
+    n, pad = 1200, 150
+    ids = np.sort(rng.choice(nz * ny * nx, size=n, replace=False))
+    z = ids // (ny * nx)
+    y = (ids // nx) % ny
+    x = ids % nx
+    coords = jnp.asarray(np.concatenate(
+        [np.stack([z, y, x], -1), np.full((pad, 3), -1)]).astype(np.int32))
+    mask = jnp.asarray(np.concatenate([np.ones(n, bool),
+                                       np.zeros(pad, bool)]))
+    feats = rng.normal(size=(n + pad, 7)).astype(np.float32)
+    feats[n:] = 0
+    feats = jnp.asarray(feats)
+
+    cfg = MiddleCfg(bn_type="none", channels=(8, 8, 16, 16),
+                    level_capacities=caps, remat=False)
+    net = SparseMiddleCov(cfg)
+    geo_rb = build_geometry(coords, mask, grid, caps)
+    geo_bd = build_band_geometry(coords, mask, grid, caps,
+                                 windows=(192, 512, 320), block=128)
+    variables = net.init(jax.random.PRNGKey(0), feats, geo_rb, False)
+    bev_a, cov_a = net.apply(variables, feats, geo_rb, False)
+    bev_b, cov_b = net.apply(variables, feats, geo_bd, False)
+    np.testing.assert_allclose(np.asarray(bev_b), np.asarray(bev_a),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov_a),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_band_gradients_finite():
+    rng = np.random.default_rng(3)
+    lvl = _level(rng, n=200, pad=56)
+    rb = sc.build_submanifold_index(lvl)
+    V = lvl.capacity
+    feats = jnp.asarray(rng.normal(size=(V, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32))
+    band = bc.build_band_index(rb, V, block=64, window=160)
+
+    def loss(w, f):
+        return jnp.sum(bc.band_conv_apply(f, band, w, None,
+                                          lvl.mask) ** 2)
+
+    gw, gf = jax.grad(loss, argnums=(0, 1))(w, feats)
+    assert np.isfinite(np.asarray(gw)).all()
+    assert np.isfinite(np.asarray(gf)).all()
