@@ -61,27 +61,52 @@ def grid_cell_coords(spatial_size, pc_range, dtype=jnp.float32) -> jax.Array:
     return xyz.astype(dtype)
 
 
-def generate_tq_map(tq: jax.Array, spatial_size, pc_range) -> jax.Array:
+def _warp_coords(coords: jax.Array, inv_trans_factor: float) -> jax.Array:
+    """Reference's optional inverse-distance xy warp of the anchor
+    coordinates (``inv_trans_factor`` branch,
+    /root/reference/rslo/data/kitti_dataset_hdf5.py:549-552): cells are
+    re-anchored at ``f / (|xy| + 0.1)^2 * xy`` so near-field cells carry
+    far anchors and vice versa.  Used identically by encode and decode,
+    so the map stays exactly invertible."""
+    if inv_trans_factor <= 0:
+        return coords
+    xy = coords[..., :2]
+    r = jnp.sqrt(jnp.sum(xy * xy, axis=-1, keepdims=True)) + 0.1
+    return jnp.concatenate(
+        [inv_trans_factor / (r * r) * xy, coords[..., 2:]], axis=-1)
+
+
+def generate_tq_map(tq: jax.Array, spatial_size, pc_range,
+                    inv_trans_factor: float = -1.0) -> jax.Array:
     """Encode global pose(s) ``tq`` (..., 7) into a local tq map.
 
-    Returns (..., H, W, 7) channels-last.
+    ``spatial_size`` (H, W) gives the BEV map (..., H, W, 7);
+    (H, W, D) gives the cubic/3D variant (..., H, W, D, 7) — the
+    reference's `generate_pointwise_local_transformation[_tch]` 3D
+    branch (/root/reference/rslo/data/kitti_dataset_hdf5.py:511-631).
     """
-    coords = grid_cell_coords(spatial_size, pc_range, dtype=tq.dtype)  # (H,W,3)
-    t_g = tq[..., None, None, :3]
-    q_g = tq[..., None, None, 3:]
+    coords = grid_cell_coords(spatial_size, pc_range, dtype=tq.dtype)
+    coords = _warp_coords(coords, inv_trans_factor)
+    nd = coords.ndim - 1                     # 2 (H,W) or 3 (H,W,D)
+    expand = (None,) * nd
+    t_g = tq[(..., *expand, slice(0, 3))]
+    q_g = tq[(..., *expand, slice(3, 7))]
     t_l = rotate_vec_by_q(t_g - coords, qinv(q_g)) + coords
     q_map = jnp.broadcast_to(q_g, t_l.shape[:-1] + (4,))
     return jnp.concatenate([t_l, q_map], axis=-1)
 
 
-def decode_tq_map(tq_map: jax.Array, pc_range) -> jax.Array:
-    """Decode a local tq map (..., H, W, 7) back to per-cell global poses.
+def decode_tq_map(tq_map: jax.Array, pc_range, dims: int = 2,
+                  inv_trans_factor: float = -1.0) -> jax.Array:
+    """Decode a local tq map back to per-cell global poses.
 
-    Returns (..., H, W, 7) where every cell carries its vote for the global
-    motion; quaternions are re-normalized.
+    ``dims=2``: (..., H, W, 7) BEV map; ``dims=3``: (..., H, W, D, 7)
+    cubic map.  Returns the same shape where every cell carries its
+    vote for the global motion; quaternions are re-normalized.
     """
-    H, W = tq_map.shape[-3], tq_map.shape[-2]
-    coords = grid_cell_coords((H, W), pc_range, dtype=tq_map.dtype)
+    spatial = tuple(tq_map.shape[-(dims + 1):-1])
+    coords = grid_cell_coords(spatial, pc_range, dtype=tq_map.dtype)
+    coords = _warp_coords(coords, inv_trans_factor)
     t_l = tq_map[..., :3]
     q_l = tq_map[..., 3:]
     t_g = rotate_vec_by_q(t_l - coords, q_l) + coords

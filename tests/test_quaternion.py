@@ -148,6 +148,32 @@ def test_tq_map_roundtrip(rng):
             dec[b], np.broadcast_to(tq[b], dec[b].shape), atol=1e-4)
 
 
+def test_tq_map_roundtrip_3d_and_warped(rng):
+    """Cubic/3D tq maps + the inverse-distance anchor warp (reference
+    kitti_dataset_hdf5.py:511-631) must stay exactly invertible."""
+    pc_range = np.array([-70.4, -38.4, -3, 70.4, 38.4, 5], np.float32)
+    tq = random_pose(rng, 2)
+    tq[:, :3] *= 0.5
+    m3 = G.generate_tq_map(jnp.asarray(tq), (12, 22, 5), pc_range)
+    assert m3.shape == (2, 12, 22, 5, 7)
+    dec3 = np.asarray(G.decode_tq_map(m3, pc_range, dims=3))
+    for b in range(2):
+        np.testing.assert_allclose(
+            dec3[b], np.broadcast_to(tq[b], dec3[b].shape), atol=1e-4)
+    # warped anchors round-trip through the same factor
+    mw = G.generate_tq_map(jnp.asarray(tq), (12, 22), pc_range,
+                           inv_trans_factor=30.0)
+    decw = np.asarray(G.decode_tq_map(mw, pc_range,
+                                      inv_trans_factor=30.0))
+    for b in range(2):
+        np.testing.assert_allclose(
+            decw[b], np.broadcast_to(tq[b], decw[b].shape), atol=1e-4)
+    # and the warped map differs from the unwarped one
+    m = np.asarray(G.generate_tq_map(jnp.asarray(tq), (12, 22),
+                                     pc_range))
+    assert np.abs(m - np.asarray(mw)).max() > 1e-3
+
+
 def test_grid_cell_coords_origin():
     pc_range = np.array([-70.4, -38.4, -3, 70.4, 38.4, 5], np.float32)
     c = np.asarray(G.grid_cell_coords((96, 176), pc_range))
