@@ -209,6 +209,22 @@ def compute_objective(preds: Dict[str, Any], example: Dict[str, Any],
             w_i = cfg.pyloss_exp_w_base ** (n - i)
             pyramid_loss = pyramid_loss + w_i * (t_l + r_l)
 
+    # Diagnostic-only odometry error vs the (never-trained-on in
+    # self-supervised mode) GT motions — VERDICT r1 weak #4: the total
+    # loss can fall on regularizers alone, so convergence must be
+    # judged against pose error, not loss.
+    if "odometry" in example:
+        gt = jax.lax.stop_gradient(
+            example["odometry"].astype(jnp.float32).reshape(-1, 7))
+        if gt.shape[0] == Ppairs:
+            aux["t_err_gt"] = jnp.mean(jnp.sqrt(
+                jnp.sum((T_pred - gt[:, :3]) ** 2, -1) + 1e-12))
+            qn = q_pred / jnp.sqrt(
+                jnp.sum(q_pred * q_pred, -1, keepdims=True) + 1e-12)
+            dq = jnp.abs(jnp.sum(qn * hemisphere(gt[:, 3:]), -1))
+            aux["q_err_deg"] = jnp.mean(
+                2 * jnp.arccos(jnp.clip(dq, 0.0, 1.0)) * 180.0 / jnp.pi)
+
     total = T_loss + R_loss + pyramid_loss + C_loss
     aux.update({
         "translation_loss": T_loss,

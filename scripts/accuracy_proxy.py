@@ -54,6 +54,16 @@ def base_cfg(middle: str, steps: int):
         train=dataclasses.replace(cfg.train, steps=steps,
                                   steps_per_eval=max(steps // 4, 250),
                                   display_step=50),
+        # Proxy-scale self-supervision schedule: the reference's
+        # warmup_steps=1500 / icp_iter=2 are tuned for 200k-step runs
+        # where a slow pseudo-target bootstrap is fine; at a few
+        # thousand steps the warmup must shrink and the inner ICP must
+        # correct most of the prediction error in ONE step (measured:
+        # icp_iter=2 closes only ~60% of a 0.4 m error per step —
+        # scripts/diag_pseudo.py).
+        loss=dataclasses.replace(cfg.loss,
+                                 warmup_steps=min(300, steps // 10),
+                                 icp_iter=6),
     )
     return cfg
 
