@@ -82,7 +82,17 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
             [np.array([[0, 0, 0, 1, 0, 0, 0]], np.float32), gts[m]])
         pred_abs = odom_to_abs_pose(pred_odoms)
         gt_abs = odom_to_abs_pose(gt_odoms)
-        results[f"seq_{int(s):02d}"] = evaluate_sequence(pred_abs, gt_abs)
+        entry = evaluate_sequence(pred_abs, gt_abs)
+        # Frame-level odometry errors: the segment metrics chain poses
+        # and are chaotic while per-frame error is still large, so the
+        # steadier per-frame numbers are reported alongside.
+        dt = np.linalg.norm(preds[m][:, :3] - gts[m][:, :3], axis=1)
+        qd = np.abs(np.sum(preds[m][:, 3:] * gts[m][:, 3:], axis=1))
+        qd /= np.maximum(np.linalg.norm(preds[m][:, 3:], axis=1), 1e-9)
+        entry["frame_t_err_m"] = float(dt.mean())
+        entry["frame_q_err_deg"] = float(np.mean(
+            2 * np.arccos(np.clip(qd, 0.0, 1.0)) * 180.0 / np.pi))
+        results[f"seq_{int(s):02d}"] = entry
         if plot_dir is not None:
             from .trajectory import draw_trajectory
             draw_trajectory(pred_abs, gt_abs, title=f"seq {int(s):02d}",
@@ -96,6 +106,10 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
                 [results[k]["r_rel_deg_per_100m"] for k in seq_keys])),
             "ate_rmse_m": float(np.mean(
                 [results[k]["ate_rmse_m"] for k in seq_keys])),
+            "frame_t_err_m": float(np.mean(
+                [results[k]["frame_t_err_m"] for k in seq_keys])),
+            "frame_q_err_deg": float(np.mean(
+                [results[k]["frame_q_err_deg"] for k in seq_keys])),
         }
     if logger is not None:
         logger.log_text(f"eval: {n} windows in {elapsed:.1f}s "
