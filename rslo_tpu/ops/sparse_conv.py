@@ -210,6 +210,56 @@ def downsample_level(level: SparseLevel, kernel, stride, padding,
                        mask, out_shape)
 
 
+def downsample_level_scatter(level: SparseLevel, kernel, stride, padding,
+                             out_capacity: int) -> SparseLevel:
+    """Sort-free :func:`downsample_level`: dedups the candidate out
+    sites with a dense occupancy scatter + cumsum-rank compaction over
+    the (coarser) out grid instead of sorting the 8V candidate list.
+    Produces the identical sorted level (compaction follows id order).
+    """
+    kernel = np.asarray(kernel)
+    stride = np.asarray(stride)
+    padding = np.asarray(padding)
+    out_shape = tuple(int((level.shape[d] + 2 * padding[d] - kernel[d])
+                          // stride[d] + 1) for d in range(3))
+    assert all(s > 0 for s in out_shape)
+    n_cand = [int(np.ceil(kernel[d] / stride[d])) for d in range(3)]
+    sent = int(np.prod(out_shape))
+
+    cand_ids = []
+    for az in range(n_cand[0]):
+        for ay in range(n_cand[1]):
+            for ax in range(n_cand[2]):
+                a = np.array([az, ay, ax])
+                num = level.coords + jnp.asarray(padding - kernel + 1,
+                                                 jnp.int32)
+                lo = -(-num // jnp.asarray(stride, jnp.int32))
+                o = lo + jnp.asarray(a, jnp.int32)
+                hi = (level.coords + jnp.asarray(padding, jnp.int32)) \
+                    // jnp.asarray(stride, jnp.int32)
+                ok = jnp.all((o <= hi) & (o >= 0) &
+                             (o < jnp.asarray(out_shape)), axis=-1)
+                ok = ok & level.mask
+                nz, ny, nx = out_shape
+                oid = (o[:, 0] * ny + o[:, 1]) * nx + o[:, 2]
+                cand_ids.append(jnp.where(ok, oid, sent))
+    ids = jnp.concatenate(cand_ids)
+    occ = jnp.zeros((sent + 1,), bool).at[ids].set(True)[:sent]
+    rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    slot = jnp.where(occ & (rank < out_capacity), rank, out_capacity)
+    out_ids = jnp.full((out_capacity + 1,), sent, jnp.int32)
+    out_ids = out_ids.at[slot].set(
+        jnp.where(slot < out_capacity,
+                  jnp.arange(sent, dtype=jnp.int32), sent))[:out_capacity]
+    nz, ny, nx = out_shape
+    zz = out_ids // (ny * nx)
+    yy = (out_ids // nx) % ny
+    xx = out_ids % nx
+    mask = out_ids < sent
+    coords = jnp.where(mask[:, None], jnp.stack([zz, yy, xx], -1), -1)
+    return SparseLevel(coords.astype(jnp.int32), out_ids, mask, out_shape)
+
+
 def build_conv_index(in_level: SparseLevel, out_level: SparseLevel,
                      kernel, stride, padding) -> ConvIndex:
     """Rulebook for a strided conv: in site = s*o + d - p per tap d."""

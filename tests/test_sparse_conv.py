@@ -162,3 +162,31 @@ def test_to_dense_scatter(rng):
     level, feats = random_level(rng)
     d = np.asarray(sc.to_dense(feats, level))
     np.testing.assert_allclose(d, dense_of(level, feats), atol=1e-6)
+
+
+def test_downsample_scatter_matches_sort():
+    """Sort-free dense-occupancy downsample must produce the identical
+    sorted level as the sort-based one (ids, coords, mask), for both
+    stride patterns used by the middle net."""
+    rng = np.random.default_rng(7)
+    for shape, k, s, p in (((9, 24, 24), (3, 3, 3), (2, 2, 2), (1, 1, 1)),
+                           ((9, 24, 24), (3, 3, 3), (2, 2, 2), (0, 1, 1)),
+                           ((9, 12, 12), (3, 1, 1), (2, 1, 1), (0, 0, 0))):
+        n = 300
+        ids = np.sort(rng.choice(np.prod(shape), size=n, replace=False))
+        z = ids // (shape[1] * shape[2])
+        y = (ids // shape[2]) % shape[1]
+        x = ids % shape[2]
+        coords = np.concatenate([np.stack([z, y, x], -1),
+                                 np.full((50, 3), -1)]).astype(np.int32)
+        mask = np.concatenate([np.ones(n, bool), np.zeros(50, bool)])
+        lvl = sc.level_from_coords(jnp.asarray(coords),
+                                   jnp.asarray(mask), shape)
+        a = sc.downsample_level(lvl, k, s, p, out_capacity=512)
+        b = sc.downsample_level_scatter(lvl, k, s, p, out_capacity=512)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_array_equal(np.asarray(a.coords),
+                                      np.asarray(b.coords))
+        np.testing.assert_array_equal(np.asarray(a.mask),
+                                      np.asarray(b.mask))
+        assert a.shape == b.shape
