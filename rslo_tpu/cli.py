@@ -115,7 +115,10 @@ def cmd_train(args):
     ex0 = prepare_example(jnp.asarray(first["points"][0]),
                           jnp.asarray(first["point_mask"][0]), vcfg)
     ex0["odometry"] = jnp.asarray(first["odometry"][0])
-    state = trainer.init_state(ex0)
+    state = trainer.init_state(
+        ex0, pretrained=args.pretrained,
+        pretrained_include=args.pretrained_include,
+        pretrained_exclude=args.pretrained_exclude)
 
     def batches():
         yield first
@@ -244,6 +247,11 @@ def main(argv=None):
     t.add_argument("--steps", type=int, default=None)
     t.add_argument("--synthetic", action="store_true")
     t.add_argument("--supervised", action="store_true")
+    t.add_argument("--pretrained", default=None,
+                   help="warm-start from another run's model dir "
+                        "(shape-matching leaves only)")
+    t.add_argument("--pretrained_include", default=None)
+    t.add_argument("--pretrained_exclude", default=None)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate")

@@ -30,6 +30,20 @@ class CheckpointManager:
     def latest_step(self):
         return self.mgr.latest_step()
 
+    @staticmethod
+    def restore_raw_from(path: str) -> dict:
+        """Restore another run's latest checkpoint as a raw pytree
+        (no template — for warm-start param surgery across differing
+        architectures).  ``path`` may be a model dir or its ckpt/."""
+        p = Path(path)
+        if (p / "ckpt").exists():
+            p = p / "ckpt"
+        mgr = ocp.CheckpointManager(p.resolve())
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {p}")
+        return mgr.restore(step)
+
     def restore(self, state_template: Any, step: int | None = None):
         step = step if step is not None else self.mgr.latest_step()
         if step is None:

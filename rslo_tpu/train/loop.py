@@ -55,7 +55,9 @@ class Trainer:
                                       cfg.train.checkpoint_max_keep)
         self._steps = {}
 
-    def init_state(self, example) -> TrainState:
+    def init_state(self, example, pretrained: str | None = None,
+                   pretrained_include: str | None = None,
+                   pretrained_exclude: str | None = None) -> TrainState:
         variables = self.net.init(jax.random.PRNGKey(self.cfg.train.seed),
                                   example, train=False)
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
@@ -69,6 +71,26 @@ class Trainer:
             state = restored
             self.logger.log_text(
                 f"restored checkpoint at step {int(state.step)}")
+        elif pretrained is not None:
+            # warm-start from another run's checkpoint, shape-matching
+            # leaves only (the reference's pretrained_path +
+            # include/exclude, train_hdf5.py:416-446)
+            from ..utils.param_surgery import load_pretrained
+            raw = self.ckpt.restore_raw_from(pretrained)
+            params, loaded = load_pretrained(
+                state.params, raw.get("params", {}), pretrained_include,
+                pretrained_exclude, strict_shapes=False)
+            stats, loaded_s = load_pretrained(
+                state.batch_stats, raw.get("batch_stats", {}),
+                pretrained_include, pretrained_exclude,
+                strict_shapes=False)
+            state = state.replace(params=params, batch_stats=stats)
+            if "alphas" in raw:
+                state = state.replace(alphas=jax.tree.map(
+                    jnp.asarray, raw["alphas"]))
+            self.logger.log_text(
+                f"warm-started {len(loaded)} param + {len(loaded_s)} "
+                f"stat leaves from {pretrained}")
         return jax.device_put(state, NamedSharding(self.mesh, P()))
 
     def _step_fn(self, warmup: bool):

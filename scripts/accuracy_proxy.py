@@ -103,6 +103,8 @@ def cmd_train(args):
             "--model_dir", _model_dir(args.middle, args.supervised)]
     if args.supervised:
         argv.append("--supervised")
+    if args.init_from:
+        argv += ["--pretrained", args.init_from]
     main(argv)
 
 
@@ -157,6 +159,8 @@ def main():
     t.add_argument("--steps", type=int, default=3000)
     t.add_argument("--supervised", action="store_true")
     t.add_argument("--remat", type=int, default=None)
+    t.add_argument("--init_from", default=None,
+                   help="model dir to warm-start from (param surgery)")
     t.set_defaults(fn=cmd_train)
     e = sub.add_parser("eval")
     e.add_argument("--middle", default="PillarMiddleCov")
