@@ -31,16 +31,16 @@ input.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from .sparse_conv import ConvIndex
 
 
-class BandIndex(NamedTuple):
+@struct.dataclass
+class BandIndex:
     """Banded gather plan for one rulebook (built once per frame).
 
     base:    (nB, K) int32 window starts into the in level's rows,
@@ -58,8 +58,8 @@ class BandIndex(NamedTuple):
     ov_out: jax.Array
     ov_in: jax.Array
     ov_tap: jax.Array
-    v_out: int
-    v_in: int
+    v_out: int = struct.field(pytree_node=False)
+    v_in: int = struct.field(pytree_node=False)
 
 
 def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,

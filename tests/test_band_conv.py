@@ -126,3 +126,26 @@ def test_band_gradients_finite():
     gw, gf = jax.grad(loss, argnums=(0, 1))(w, feats)
     assert np.isfinite(np.asarray(gw)).all()
     assert np.isfinite(np.asarray(gf)).all()
+
+
+def test_band_engine_through_net():
+    """OdomNet with middle.engine="band" must agree with the rulebook
+    engine through the full forward (same params)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import dataclasses
+    from test_model import tiny_cfg, make_example
+    from rslo_tpu.models.net import OdomNet
+
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(0)
+    ex = make_example(rng, cfg, L=2)
+    net_a = OdomNet(cfg)
+    variables = net_a.init(jax.random.PRNGKey(0), ex, train=False)
+    out_a = net_a.apply(variables, ex, train=False)["odometry"]
+    cfg_b = cfg.replace(middle=dataclasses.replace(
+        cfg.middle, engine="band", band_block=128,
+        band_windows=(256, 640, 384)))
+    out_b = OdomNet(cfg_b).apply(variables, ex, train=False)["odometry"]
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               rtol=2e-2, atol=2e-2)
