@@ -1,4 +1,4 @@
-"""Banded one-hot sparse-conv engine — MXU gathers for the rulebook path.
+"""Banded sparse-conv engine — contiguous-window DMAs + MXU one-hots.
 
 The rulebook engine (:mod:`rslo_tpu.ops.sparse_conv`) is bound by XLA
 row gathers: ``features[rulebook.idx]`` moves 64-128 B rows at ~2 GB/s
@@ -20,16 +20,22 @@ gather into
      on the MXU, where a "wasted" 50x of cheap FLOPs beats a 100x-off-
      roofline gather.
 
-One-hot selection matrices depend only on the frame geometry, so they
-are built once per frame (``build_band_index``) and shared by every
-conv layer using the same rulebook — the same reuse pattern as
-spconv's ``indice_key`` (reference /root/reference/rslo/models/
-middle.py:80-245).  Rows whose window assignment overflows W (rare,
-data-dependent) are routed through a small compacted overflow pair
-list applied with a plain scatter-add, so the result is exact for any
-input.
+The plan stores only the per-row window offsets ``sel`` (nB, K, B)
+int32 (~2 MB at KITTI scale); the one-hot selection matrices are
+generated on the fly — by an iota compare inside the fused Pallas
+kernel on TPU (zero HBM traffic), or transiently by XLA on other
+backends.  Plans depend only on the frame geometry, so they are built
+once per frame (``build_band_index``) and shared by every conv layer
+using the same rulebook — the same reuse pattern as spconv's
+``indice_key`` (reference /root/reference/rslo/models/middle.py:80-245).
+Rows whose window assignment overflows W (rare, data-dependent) are
+routed through a small compacted overflow pair list applied with a
+plain scatter-add, so the result is exact for any input.
 """
 from __future__ import annotations
+
+import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,26 +51,28 @@ class BandIndex:
 
     base:    (nB, K) int32 window starts into the in level's rows,
              clamped to [0, Vp_in - W].
-    onehot:  (nB, K, B, W) selection matrices (bf16), zero rows for
+    sel:     (nB, K, B) int32 in-window offsets (idx - base), -1 for
              invalid / out-of-window taps.
     ov_out:  (OV,) int32 overflow out row (sentinel Vp_out = dropped).
     ov_in:   (OV,) int32 overflow in row.
     ov_tap:  (OV,) int32 overflow tap.
     v_out:   static true number of out rows.
     v_in:    static padded in-row count the bases were clamped against.
+    window:  static window width W.
     """
     base: jax.Array
-    onehot: jax.Array
+    sel: jax.Array
     ov_out: jax.Array
     ov_in: jax.Array
     ov_tap: jax.Array
     v_out: int = struct.field(pytree_node=False)
     v_in: int = struct.field(pytree_node=False)
+    window: int = struct.field(pytree_node=False)
 
 
 def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
-                     window: int = 448, ov_capacity: int = 4096,
-                     dtype=jnp.bfloat16) -> BandIndex:
+                     window: int = 384,
+                     ov_capacity: int = 4096) -> BandIndex:
     """Convert a rulebook into a banded gather plan.
 
     v_in: in level's row capacity; window slices are clamped to
@@ -93,10 +101,8 @@ def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
 
     delta = idx_b - base[:, None, :]                          # (nB, B, K)
     in_win = val_b & (delta >= 0) & (delta < Wd)
-    sel = jnp.where(in_win, delta, -1)
-    onehot = (sel[..., None] ==
-              jnp.arange(Wd, dtype=jnp.int32)).astype(dtype)
-    onehot = jnp.transpose(onehot, (0, 2, 1, 3))              # (nB,K,B,W)
+    sel = jnp.where(in_win, delta, -1).astype(jnp.int32)
+    sel = jnp.transpose(sel, (0, 2, 1))                       # (nB, K, B)
 
     # overflow pairs: valid but outside the window
     ov_flag = (valid & ~in_win.reshape(Vp, K)).reshape(-1)
@@ -112,13 +118,136 @@ def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
         jnp.where(slot < ov_capacity, idx.reshape(-1), 0))[:ov_capacity]
     ov_tap = jnp.zeros((ov_capacity + 1,), jnp.int32).at[slot].set(
         jnp.where(slot < ov_capacity, flat_tap, 0))[:ov_capacity]
-    return BandIndex(base, onehot, ov_out, ov_in, ov_tap, V, vp_in)
+    return BandIndex(base, sel, ov_out, ov_in, ov_tap, V, vp_in, Wd)
+
+
+# ---------------------------------------------------------------------------
+# Windowed part, XLA formulation (fallback backend + Pallas backward).
+
+def _windowed_xla(f_pad: jax.Array, w: jax.Array, base: jax.Array,
+                  sel: jax.Array, W: int, cdt) -> jax.Array:
+    """(Vp, Cout) f32 conv output from in-window pairs only."""
+    nB, K, B = sel.shape
+    Cin = f_pad.shape[-1]
+    Cout = w.shape[-1]
+    fc = f_pad.astype(cdt)
+    starts = base.reshape(-1)
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(fc, (s, 0), (W, Cin)))(starts)
+    windows = windows.reshape(nB, K, W, Cin)
+    onehot = (sel[..., None] ==
+              jnp.arange(W, dtype=jnp.int32)).astype(cdt)     # (nB,K,B,W)
+    # MXU gather: (nB,K,B,W) x (nB,K,W,Cin) -> (nB,K,B,Cin)
+    g = jax.lax.dot_general(
+        onehot, windows,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    g = jnp.transpose(g, (0, 2, 1, 3)).reshape(nB * B, K * Cin)
+    return jnp.dot(g.astype(cdt), w.reshape(K * Cin, Cout).astype(cdt),
+                   preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Windowed part, fused Pallas TPU kernel.
+#
+# Grid over out-row blocks; per block a static K-tap loop with double-
+# buffered window DMAs (features stay in HBM; only the (W, Cin) windows
+# touch VMEM), an iota-compare one-hot built in registers, and two MXU
+# matmuls accumulating the conv output in fp32.
+
+def _windowed_pallas_raw(f_pad, w, base, sel, W: int, cdt):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nB, K, B = sel.shape
+    Cin = f_pad.shape[-1]
+    Cout = w.shape[-1]
+    fc = f_pad.astype(cdt)
+    wc = w.astype(cdt)
+
+    def kernel(base_ref, sel_ref, f_ref, w_ref, out_ref, win, sem):
+        b = pl.program_id(0)
+
+        def dma(k, slot):
+            return pltpu.make_async_copy(
+                f_ref.at[pl.ds(base_ref[b, k], W)],
+                win.at[slot], sem.at[slot])
+
+        dma(0, 0).start()
+        acc = jnp.zeros((B, Cout), jnp.float32)
+        for k in range(K):                      # static unroll
+            slot = k % 2
+            if k + 1 < K:
+                dma(k + 1, 1 - slot).start()
+            dma(k, slot).wait()
+            selk = sel_ref[0, k]                # (B,) int32, -1 = off
+            oh = (selk[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (B, W), 1)).astype(cdt)
+            g = jnp.dot(oh, win[slot], preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(g.astype(cdt), w_ref[k],
+                                preferred_element_type=jnp.float32)
+        out_ref[0] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nB,),
+        in_specs=[
+            pl.BlockSpec((1, K, B), lambda b, base_ref: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, Cout), lambda b, base_ref: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, Cin), cdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nB, B, Cout), jnp.float32),
+    )(base, sel, fc, wc)
+    return out.reshape(nB * B, Cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _windowed_pallas(f_pad, w, base, sel, W: int, cdt):
+    return _windowed_pallas_raw(f_pad, w, base, sel, W, cdt)
+
+
+def _windowed_pallas_fwd(f_pad, w, base, sel, W, cdt):
+    out = _windowed_pallas_raw(f_pad, w, base, sel, W, cdt)
+    return out, (f_pad, w, base, sel)
+
+
+def _windowed_pallas_bwd(W, cdt, res, g):
+    f_pad, w, base, sel = res
+    _, pull = jax.vjp(
+        lambda f_, w_: _windowed_xla(f_, w_, base, sel, W, cdt), f_pad, w)
+    df, dw = pull(g)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return df, dw, f0(base), f0(sel)
+
+
+_windowed_pallas.defvjp(_windowed_pallas_fwd, _windowed_pallas_bwd)
+
+
+def _pick_impl(band: BandIndex, requested: str | None) -> str:
+    if requested is None:
+        requested = os.environ.get("RSLO_BAND_IMPL", "auto")
+    if requested != "auto":
+        return requested
+    B = band.sel.shape[-1]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ok = band.window % 128 == 0 and B % 8 == 0
+    return "pallas" if (on_tpu and ok) else "xla"
 
 
 def band_conv_apply(features: jax.Array, band: BandIndex,
                     weights: jax.Array, bias: jax.Array | None = None,
                     out_mask: jax.Array | None = None,
-                    compute_dtype=jnp.bfloat16) -> jax.Array:
+                    compute_dtype=jnp.bfloat16,
+                    impl: str | None = None) -> jax.Array:
     """Sparse conv through the banded plan.
 
     features: (V_in, Cin); weights: (K, Cin, Cout).  Returns
@@ -126,38 +255,34 @@ def band_conv_apply(features: jax.Array, band: BandIndex,
     ``compute_dtype`` (bf16) with fp32 accumulation — selection by a
     1.0/0.0 one-hot is exact up to the bf16 rounding of the features.
     """
-    nB, K, B, W = band.onehot.shape
+    nB, K, B = band.sel.shape
     Cin = features.shape[-1]
     Cout = weights.shape[-1]
     Vp = nB * B
+    W = band.window
 
     f = features
     if f.shape[0] < band.v_in:
         f = jnp.concatenate(
             [f, jnp.zeros((band.v_in - f.shape[0], Cin), f.dtype)], 0)
-    fc = f.astype(compute_dtype)
 
-    starts = band.base.reshape(-1)
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(fc, (s, 0), (W, Cin)))(starts)
-    windows = windows.reshape(nB, K, W, Cin)
+    if _pick_impl(band, impl) == "pallas":
+        out = _windowed_pallas(f, weights, band.base, band.sel, W,
+                               compute_dtype)
+    else:
+        out = _windowed_xla(f, weights, band.base, band.sel, W,
+                            compute_dtype)
 
-    # MXU gather: (nB,K,B,W) x (nB,K,W,Cin) -> (nB,K,B,Cin)
-    g = jax.lax.dot_general(
-        band.onehot, windows,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)
-    g = jnp.transpose(g, (0, 2, 1, 3)).reshape(Vp * K, Cin)
+    # exact overflow correction (rare out-of-window pairs): additive,
+    # so it composes with the windowed part regardless of impl.
+    ov_vals = jnp.einsum(
+        "oc,oct->ot", f[band.ov_in].astype(jnp.float32),
+        weights[band.ov_tap].astype(jnp.float32))
+    out = jnp.concatenate([out, jnp.zeros((1, Cout), out.dtype)], axis=0)
+    out = out.at[jnp.minimum(band.ov_out, Vp)].add(
+        jnp.where((band.ov_out < Vp)[:, None], ov_vals, 0.0))[:-1]
 
-    # exact overflow correction (rare out-of-window pairs)
-    ov_rows = jnp.where(band.ov_out < Vp,
-                        band.ov_out * K + band.ov_tap, Vp * K)
-    g = jnp.concatenate([g, jnp.zeros((1, Cin), g.dtype)], axis=0)
-    g = g.at[ov_rows].add(f[band.ov_in].astype(g.dtype))[:-1]
-
-    g = g.reshape(Vp, K * Cin)[:band.v_out].astype(compute_dtype)
-    w = weights.reshape(K * Cin, Cout).astype(compute_dtype)
-    out = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    out = out[:band.v_out]
     if bias is not None:
         out = out + bias
     if out_mask is not None:
@@ -168,8 +293,9 @@ def band_conv_apply(features: jax.Array, band: BandIndex,
 # Per-rulebook-kind window widths (measured KITTI-scale max block
 # spreads + margin; see BENCH_NOTES "banded gather"): submanifold taps
 # stay within ~315 rows of a 256-row block, stride-2 taps within ~1040,
-# inverse taps within ~550.
-SUBM_WINDOW = 448
+# inverse taps within ~550.  All multiples of 128 so the fused Pallas
+# kernel's lane dimension tiles cleanly.
+SUBM_WINDOW = 384
 DOWN_WINDOW = 1280
 INV_WINDOW = 768
 

@@ -71,7 +71,7 @@ def main():
         lambda a, b: sc.build_conv_index(a, b, *DOWN_SPECS[0])), l0, l1)
 
     rb = sub(l0)
-    timeit("band wrap subm L0 (onehot)", jax.jit(
+    timeit("band wrap subm L0 (sel plan)", jax.jit(
         lambda r: bc.build_band_index(r, l0.capacity,
                                       window=bc.SUBM_WINDOW)), rb)
     from rslo_tpu.models.middle import build_band_geometry

@@ -44,8 +44,7 @@ def test_band_matches_rulebook_fp32():
     b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
 
     ref = sc.sparse_conv_apply(feats, rb, w, b, lvl.mask)
-    band = bc.build_band_index(rb, V, block=64, window=192,
-                               dtype=jnp.float32)
+    band = bc.build_band_index(rb, V, block=64, window=192)
     out = bc.band_conv_apply(feats, band, w, b, lvl.mask,
                              compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -66,10 +65,9 @@ def test_band_overflow_path_exact():
 
     ref = sc.sparse_conv_apply(feats, rb, w, None, lvl.mask)
     band = bc.build_band_index(rb, V, block=64, window=8,
-                               ov_capacity=n_valid + 64,
-                               dtype=jnp.float32)
-    n_ov = int(np.asarray((band.ov_out < band.onehot.shape[0] *
-                           band.onehot.shape[2]).sum()))
+                               ov_capacity=n_valid + 64)
+    n_ov = int(np.asarray((band.ov_out < band.sel.shape[0] *
+                           band.sel.shape[2]).sum()))
     assert n_ov > 100           # the tiny window really overflowed
     out = bc.band_conv_apply(feats, band, w, None, lvl.mask,
                              compute_dtype=jnp.float32)
@@ -149,3 +147,63 @@ def test_band_engine_through_net():
     out_b = OdomNet(cfg_b).apply(variables, ex, train=False)["odometry"]
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
                                rtol=2e-2, atol=2e-2)
+
+
+def _interpreted_pallas(monkeypatch):
+    """Force pallas_call into interpret mode (no TPU in CI)."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+
+def test_band_pallas_matches_rulebook(monkeypatch):
+    """The fused Pallas kernel (interpret mode) must match the rulebook
+    conv exactly in fp32, including the overflow epilogue."""
+    _interpreted_pallas(monkeypatch)
+    rng = np.random.default_rng(5)
+    lvl = _level(rng)
+    rb = sc.build_submanifold_index(lvl)
+    V = lvl.capacity
+    feats = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    feats = jnp.where(lvl.mask[:, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    ref = sc.sparse_conv_apply(feats, rb, w, b, lvl.mask)
+    band = bc.build_band_index(rb, V, block=64, window=128)
+    out = bc.band_conv_apply(feats, band, w, b, lvl.mask,
+                             compute_dtype=jnp.float32, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_band_pallas_grads_match_xla(monkeypatch):
+    """custom_vjp backward (XLA formulation) must match grads of the
+    XLA forward path."""
+    _interpreted_pallas(monkeypatch)
+    rng = np.random.default_rng(6)
+    lvl = _level(rng, n=200, pad=56)
+    rb = sc.build_submanifold_index(lvl)
+    V = lvl.capacity
+    feats = jnp.asarray(rng.normal(size=(V, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32))
+    band = bc.build_band_index(rb, V, block=64, window=128)
+
+    def loss(impl):
+        def f(w_, f_):
+            return jnp.sum(bc.band_conv_apply(
+                f_, band, w_, None, lvl.mask,
+                compute_dtype=jnp.float32, impl=impl) ** 2)
+        return f
+
+    gw_x, gf_x = jax.grad(loss("xla"), argnums=(0, 1))(w, feats)
+    gw_p, gf_p = jax.grad(loss("pallas"), argnums=(0, 1))(w, feats)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
+                               rtol=1e-4, atol=1e-4)
