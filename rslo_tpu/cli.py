@@ -105,8 +105,12 @@ def cmd_train(args):
     else:
         dataset = KittiWindowDataset(cfg.data, "train")
     D = mesh.devices.size
+    # resume the data stream where the checkpoint left it (the
+    # reference's last_iter = global_step - 1, train_hdf5.py:535-536)
+    resume_step = trainer.ckpt.latest_step() or 0
     loader = DataLoader(dataset, cfg.data, D, cfg.train.steps,
-                        train=True, seed=cfg.train.seed)
+                        train=True, seed=cfg.train.seed,
+                        last_iter=resume_step - 1)
 
     # init from one real batch (shapes must match the stream)
     first = next(iter(loader))
