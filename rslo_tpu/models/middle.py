@@ -92,7 +92,8 @@ def build_band_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
     geo = build_geometry(coords, mask, sparse_shape, capacities)
     sw, dw, iw = windows
     sub = tuple(bc.build_band_index(rb, geo.levels[i].capacity,
-                                    block=block, window=sw)
+                                    block=block, window=sw,
+                                    self_transpose=True)
                 for i, rb in enumerate(geo.sub_rb))
     down = tuple(bc.build_band_index(rb, geo.levels[i].capacity,
                                      block=block, window=dw)

@@ -68,11 +68,18 @@ class BandIndex:
     v_out: int = struct.field(pytree_node=False)
     v_in: int = struct.field(pytree_node=False)
     window: int = struct.field(pytree_node=False)
+    # submanifold rulebooks are self-transpose under tap flip:
+    # pair (o, i, k) valid <=> (i, o, K-1-k) valid (out sites == in
+    # sites and the lexicographic offset enumeration is centrally
+    # symmetric, d[K-1-k] = -d[k]).  When set, the fused kernel's
+    # backward-for-features is the SAME kernel with flipped/transposed
+    # weights — no transpose plan and no XLA one-hot fallback needed.
+    self_transpose: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
-                     window: int = 384,
-                     ov_capacity: int = 4096) -> BandIndex:
+                     window: int = 384, ov_capacity: int = 4096,
+                     self_transpose: bool = False) -> BandIndex:
     """Convert a rulebook into a banded gather plan.
 
     v_in: in level's row capacity; window slices are clamped to
@@ -118,18 +125,19 @@ def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
         jnp.where(slot < ov_capacity, idx.reshape(-1), 0))[:ov_capacity]
     ov_tap = jnp.zeros((ov_capacity + 1,), jnp.int32).at[slot].set(
         jnp.where(slot < ov_capacity, flat_tap, 0))[:ov_capacity]
-    return BandIndex(base, sel, ov_out, ov_in, ov_tap, V, vp_in, Wd)
+    return BandIndex(base, sel, ov_out, ov_in, ov_tap, V, vp_in, Wd,
+                     self_transpose)
 
 
 # ---------------------------------------------------------------------------
-# Windowed part, XLA formulation (fallback backend + Pallas backward).
+# Full conv (in-window pairs + overflow pairs), XLA formulation
+# (fallback backend; also the backward for non-self-transpose plans).
 
-def _windowed_xla(f_pad: jax.Array, w: jax.Array, base: jax.Array,
-                  sel: jax.Array, W: int, cdt) -> jax.Array:
-    """(Vp, Cout) f32 conv output from in-window pairs only."""
+def _gather_xla(f_pad: jax.Array, base: jax.Array, sel: jax.Array,
+                W: int, cdt) -> jax.Array:
+    """(Vp, K*Cin) gathered in-window features (zero where invalid)."""
     nB, K, B = sel.shape
     Cin = f_pad.shape[-1]
-    Cout = w.shape[-1]
     fc = f_pad.astype(cdt)
     starts = base.reshape(-1)
     windows = jax.vmap(
@@ -142,7 +150,26 @@ def _windowed_xla(f_pad: jax.Array, w: jax.Array, base: jax.Array,
         onehot, windows,
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32)
-    g = jnp.transpose(g, (0, 2, 1, 3)).reshape(nB * B, K * Cin)
+    return jnp.transpose(g, (0, 2, 1, 3)).reshape(nB * B, K * Cin)
+
+
+def _overflow_add_g(g: jax.Array, f_pad: jax.Array, ov_out, ov_in,
+                    ov_tap, Vp: int, K: int, Cin: int) -> jax.Array:
+    """Add overflow pairs into the gathered (Vp, K*Cin) matrix."""
+    rows = jnp.where(ov_out < Vp, ov_out * K + ov_tap, Vp * K)
+    g = g.reshape(Vp * K, Cin)
+    g = jnp.concatenate([g, jnp.zeros((1, Cin), g.dtype)], axis=0)
+    g = g.at[rows].add(f_pad[ov_in].astype(g.dtype))[:-1]
+    return g.reshape(Vp, K * Cin)
+
+
+def _full_xla(f_pad, w, base, sel, ov_out, ov_in, ov_tap, W: int, cdt):
+    """(Vp, Cout) f32: complete banded conv in XLA."""
+    nB, K, B = sel.shape
+    Cin = f_pad.shape[-1]
+    Cout = w.shape[-1]
+    g = _gather_xla(f_pad, base, sel, W, cdt)
+    g = _overflow_add_g(g, f_pad, ov_out, ov_in, ov_tap, nB * B, K, Cin)
     return jnp.dot(g.astype(cdt), w.reshape(K * Cin, Cout).astype(cdt),
                    preferred_element_type=jnp.float32)
 
@@ -155,7 +182,8 @@ def _windowed_xla(f_pad: jax.Array, w: jax.Array, base: jax.Array,
 # touch VMEM), an iota-compare one-hot built in registers, and two MXU
 # matmuls accumulating the conv output in fp32.
 
-def _windowed_pallas_raw(f_pad, w, base, sel, W: int, cdt):
+def _windowed_pallas_conv(f_pad, w, base, sel, W: int, cdt):
+    """Fused kernel, conv mode: returns (Vp, Cout) f32 (no overflow)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -210,26 +238,130 @@ def _windowed_pallas_raw(f_pad, w, base, sel, W: int, cdt):
     return out.reshape(nB * B, Cout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _windowed_pallas(f_pad, w, base, sel, W: int, cdt):
-    return _windowed_pallas_raw(f_pad, w, base, sel, W, cdt)
+def _windowed_pallas_gather(f_pad, base, sel, W: int, cdt):
+    """Fused kernel, gather mode: returns (Vp, K*Cin) in ``cdt``
+    (in-window pairs only; use :func:`_overflow_add_g` on top)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nB, K, B = sel.shape
+    Cin = f_pad.shape[-1]
+    fc = f_pad.astype(cdt)
+
+    def kernel(base_ref, sel_ref, f_ref, out_ref, win, sem):
+        b = pl.program_id(0)
+
+        def dma(k, slot):
+            return pltpu.make_async_copy(
+                f_ref.at[pl.ds(base_ref[b, k], W)],
+                win.at[slot], sem.at[slot])
+
+        dma(0, 0).start()
+        for k in range(K):
+            slot = k % 2
+            if k + 1 < K:
+                dma(k + 1, 1 - slot).start()
+            dma(k, slot).wait()
+            selk = sel_ref[0, k]
+            oh = (selk[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (B, W), 1)).astype(cdt)
+            g = jnp.dot(oh, win[slot], preferred_element_type=jnp.float32)
+            out_ref[0, :, k * Cin:(k + 1) * Cin] = g.astype(cdt)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nB,),
+        in_specs=[
+            pl.BlockSpec((1, K, B), lambda b, base_ref: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, B, K * Cin),
+                               lambda b, base_ref: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, Cin), cdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nB, B, K * Cin), cdt),
+    )(base, sel, fc)
+    return out.reshape(nB * B, K * Cin)
 
 
-def _windowed_pallas_fwd(f_pad, w, base, sel, W, cdt):
-    out = _windowed_pallas_raw(f_pad, w, base, sel, W, cdt)
-    return out, (f_pad, w, base, sel)
+def _full_pallas_raw(f_pad, w, base, sel, ov_out, ov_in, ov_tap,
+                     W: int, cdt):
+    """(Vp, Cout) f32: complete banded conv, fused kernel + overflow."""
+    nB, K, B = sel.shape
+    Vp = nB * B
+    Cout = w.shape[-1]
+    out = _windowed_pallas_conv(f_pad, w, base, sel, W, cdt)
+    ov_vals = jnp.einsum(
+        "oc,oct->ot", f_pad[ov_in].astype(jnp.float32),
+        w[ov_tap].astype(jnp.float32))
+    out = jnp.concatenate([out, jnp.zeros((1, Cout), out.dtype)], axis=0)
+    return out.at[jnp.minimum(ov_out, Vp)].add(
+        jnp.where((ov_out < Vp)[:, None], ov_vals, 0.0))[:-1]
 
 
-def _windowed_pallas_bwd(W, cdt, res, g):
-    f_pad, w, base, sel = res
-    _, pull = jax.vjp(
-        lambda f_, w_: _windowed_xla(f_, w_, base, sel, W, cdt), f_pad, w)
-    df, dw = pull(g)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _full_pallas(f_pad, w, base, sel, ov_out, ov_in, ov_tap,
+                 W: int, cdt, self_transpose: bool):
+    return _full_pallas_raw(f_pad, w, base, sel, ov_out, ov_in, ov_tap,
+                            W, cdt)
+
+
+def _full_pallas_fwd(f_pad, w, base, sel, ov_out, ov_in, ov_tap,
+                     W, cdt, self_transpose):
+    out = _full_pallas_raw(f_pad, w, base, sel, ov_out, ov_in, ov_tap,
+                           W, cdt)
+    return out, (f_pad, w, base, sel, ov_out, ov_in, ov_tap)
+
+
+def _full_pallas_bwd(W, cdt, self_transpose, res, g_ct):
+    f_pad, w, base, sel, ov_out, ov_in, ov_tap = res
+    nB, K, B = sel.shape
+    Vp = nB * B
+    Cin = f_pad.shape[-1]
+    vp_in = f_pad.shape[0]
+    if self_transpose:
+        # d_features: by the subm tap-flip symmetry (pair (o,i,k) <=>
+        # (i,o,K-1-k) within the SAME rulebook), the transpose conv is
+        # this very plan applied to the cotangent with flipped,
+        # transposed weights: df[r] = sum_k ct[idx(r,k)] @ w[K-1-k]^T.
+        # (If ov_capacity saturates, dropped pairs need not be mirror-
+        # symmetric, so fwd/bwd can disagree on those pairs — the fwd is
+        # already inexact in that documented case.)
+        w_t = jnp.flip(w, 0).transpose(0, 2, 1)           # (K, Cout, Cin)
+        ct_pad = g_ct.astype(jnp.float32)
+        if ct_pad.shape[0] < vp_in:
+            ct_pad = jnp.concatenate(
+                [ct_pad, jnp.zeros((vp_in - ct_pad.shape[0],
+                                    ct_pad.shape[1]), ct_pad.dtype)], 0)
+        df = _full_pallas_raw(ct_pad, w_t, base, sel, ov_out, ov_in,
+                              ov_tap, W, cdt)
+        df = df[:vp_in]
+        if df.shape[0] < vp_in:
+            df = jnp.concatenate(
+                [df, jnp.zeros((vp_in - df.shape[0], Cin), df.dtype)], 0)
+        df = df.astype(f_pad.dtype)
+        # d_weights: recomputed gather (fused kernel) + one big matmul.
+        g = _windowed_pallas_gather(f_pad, base, sel, W, cdt)
+        g = _overflow_add_g(g, f_pad, ov_out, ov_in, ov_tap, Vp, K, Cin)
+        dw = jnp.dot(g.astype(jnp.float32).T, g_ct.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        dw = dw.reshape(K, Cin, -1).astype(w.dtype)
+    else:
+        _, pull = jax.vjp(
+            lambda f_, w_: _full_xla(f_, w_, base, sel, ov_out, ov_in,
+                                     ov_tap, W, cdt), f_pad, w)
+        df, dw = pull(g_ct)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return df, dw, f0(base), f0(sel)
+    return (df, dw, f0(base), f0(sel), f0(ov_out), f0(ov_in), f0(ov_tap))
 
 
-_windowed_pallas.defvjp(_windowed_pallas_fwd, _windowed_pallas_bwd)
+_full_pallas.defvjp(_full_pallas_fwd, _full_pallas_bwd)
 
 
 def _pick_impl(band: BandIndex, requested: str | None) -> str:
@@ -255,10 +387,7 @@ def band_conv_apply(features: jax.Array, band: BandIndex,
     ``compute_dtype`` (bf16) with fp32 accumulation — selection by a
     1.0/0.0 one-hot is exact up to the bf16 rounding of the features.
     """
-    nB, K, B = band.sel.shape
     Cin = features.shape[-1]
-    Cout = weights.shape[-1]
-    Vp = nB * B
     W = band.window
 
     f = features
@@ -267,20 +396,12 @@ def band_conv_apply(features: jax.Array, band: BandIndex,
             [f, jnp.zeros((band.v_in - f.shape[0], Cin), f.dtype)], 0)
 
     if _pick_impl(band, impl) == "pallas":
-        out = _windowed_pallas(f, weights, band.base, band.sel, W,
-                               compute_dtype)
+        out = _full_pallas(f, weights, band.base, band.sel, band.ov_out,
+                           band.ov_in, band.ov_tap, W, compute_dtype,
+                           band.self_transpose)
     else:
-        out = _windowed_xla(f, weights, band.base, band.sel, W,
-                            compute_dtype)
-
-    # exact overflow correction (rare out-of-window pairs): additive,
-    # so it composes with the windowed part regardless of impl.
-    ov_vals = jnp.einsum(
-        "oc,oct->ot", f[band.ov_in].astype(jnp.float32),
-        weights[band.ov_tap].astype(jnp.float32))
-    out = jnp.concatenate([out, jnp.zeros((1, Cout), out.dtype)], axis=0)
-    out = out.at[jnp.minimum(band.ov_out, Vp)].add(
-        jnp.where((band.ov_out < Vp)[:, None], ov_vals, 0.0))[:-1]
+        out = _full_xla(f, weights, band.base, band.sel, band.ov_out,
+                        band.ov_in, band.ov_tap, W, compute_dtype)
 
     out = out[:band.v_out]
     if bias is not None:

@@ -183,8 +183,9 @@ def test_band_pallas_matches_rulebook(monkeypatch):
 
 
 def test_band_pallas_grads_match_xla(monkeypatch):
-    """custom_vjp backward (XLA formulation) must match grads of the
-    XLA forward path."""
+    """custom_vjp backward must match grads of the XLA forward path —
+    both the generic (XLA-vjp) branch and the self-transpose branch
+    (tap-flipped fused kernel + gather-mode dW)."""
     _interpreted_pallas(monkeypatch)
     rng = np.random.default_rng(6)
     lvl = _level(rng, n=200, pad=56)
@@ -192,7 +193,43 @@ def test_band_pallas_grads_match_xla(monkeypatch):
     V = lvl.capacity
     feats = jnp.asarray(rng.normal(size=(V, 4)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32))
-    band = bc.build_band_index(rb, V, block=64, window=128)
+
+    for st in (False, True):
+        band = bc.build_band_index(rb, V, block=64, window=128,
+                                   self_transpose=st)
+
+        def loss(impl):
+            def f(w_, f_):
+                return jnp.sum(bc.band_conv_apply(
+                    f_, band, w_, None, lvl.mask,
+                    compute_dtype=jnp.float32, impl=impl) ** 2)
+            return f
+
+        gw_x, gf_x = jax.grad(loss("xla"), argnums=(0, 1))(w, feats)
+        gw_p, gf_p = jax.grad(loss("pallas"), argnums=(0, 1))(w, feats)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"self_transpose={st} dW")
+        np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"self_transpose={st} dF")
+
+
+def test_band_pallas_selftranspose_overflow_grads(monkeypatch):
+    """Self-transpose backward with a tiny window (heavy overflow use)
+    must still match the XLA grads — the mirrored pair set flows through
+    the overflow epilogue of the transposed apply."""
+    _interpreted_pallas(monkeypatch)
+    rng = np.random.default_rng(7)
+    lvl = _level(rng, n=150, pad=42)
+    rb = sc.build_submanifold_index(lvl)
+    V = lvl.capacity
+    n_valid = int(np.asarray(rb.valid).sum())
+    feats = jnp.asarray(rng.normal(size=(V, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32))
+    band = bc.build_band_index(rb, V, block=64, window=8,
+                               ov_capacity=n_valid + 64,
+                               self_transpose=True)
 
     def loss(impl):
         def f(w_, f_):
