@@ -124,6 +124,10 @@ def cmd_eval(args):
     # cmd_evaluate writes eval_results.json into the model dir
     res = json.loads((Path(mdir) / "eval_results.json").read_text())
     tag = args.middle + ("_sup" if args.supervised else "")
+    if args.refine:
+        tag += "_refine"
+    if args.refine_loops:
+        tag += "_loops"
     out = ROOT / f"result_{tag}.json"
     out.write_text(json.dumps(res, indent=1))
     print("saved", out, flush=True)
@@ -131,18 +135,36 @@ def cmd_eval(args):
 
 def cmd_report(args):
     rows = []
+
+    def _mean(vals):
+        vals = [v for v in vals if v is not None]
+        return sum(vals) / len(vals) if vals else None
+
     for f in sorted(ROOT.glob("result_*.json")):
         tag = f.stem[len("result_"):]
         res = json.loads(f.read_text())
-        avg = res.get("avg", {})
-        rows.append((tag, avg.get("t_rel_pct"),
-                     avg.get("r_rel_deg_per_100m"),
-                     avg.get("ate_rmse_m")))
-    print(f"{'variant':28s} {'t_rel %':>8s} {'r_rel d/100m':>12s} "
+        avg = res.get("avg")
+        if avg is not None:
+            rows.append((tag, avg.get("t_rel_pct"),
+                         avg.get("r_rel_deg_per_100m"),
+                         avg.get("ate_rmse_m")))
+            continue
+        # refined-eval layout: per-seq {chained, refined, loop_closed}
+        seqs = [v for k, v in res.items() if k.startswith("seq_")]
+        for mode in ("chained", "refined", "loop_closed"):
+            sub = [s[mode] for s in seqs if mode in s]
+            if not sub:
+                continue
+            rows.append((f"{tag}:{mode}",
+                         _mean([m.get("t_rel_pct") for m in sub]),
+                         _mean([m.get("r_rel_deg_per_100m")
+                                for m in sub]),
+                         _mean([m.get("ate_rmse_m") for m in sub])))
+    print(f"{'variant':36s} {'t_rel %':>8s} {'r_rel d/100m':>12s} "
           f"{'ATE m':>8s}")
     for tag, t, r, a in rows:
         fmt = lambda v: "-" if v is None else f"{v:.3f}"
-        print(f"{tag:28s} {fmt(t):>8s} {fmt(r):>12s} {fmt(a):>8s}")
+        print(f"{tag:36s} {fmt(t):>8s} {fmt(r):>12s} {fmt(a):>8s}")
 
 
 def main():
