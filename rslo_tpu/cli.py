@@ -203,7 +203,7 @@ def cmd_evaluate(args):
     ex0 = prepare_example(jnp.asarray(b0["points"][0]),
                           jnp.asarray(b0["point_mask"][0]), vcfg)
     ex0["odometry"] = jnp.asarray(b0["odometry"][0])
-    state = trainer.init_state(ex0)
+    state = trainer.init_state(ex0, ckpt_step=args.ckpt_step)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.refine or args.refine_ba or args.refine_loops:
         results = run_eval_refined(
@@ -263,6 +263,9 @@ def main(argv=None):
     e.add_argument("--model_dir", required=True)
     e.add_argument("--synthetic", action="store_true")
     e.add_argument("--max_windows", type=int, default=None)
+    e.add_argument("--ckpt_step", type=int, default=None,
+                   help="evaluate a specific checkpoint step "
+                        "(default: latest)")
     e.add_argument("--refine", action="store_true")
     e.add_argument("--refine_ba", action="store_true",
                    help="refine with geometric bundle adjustment "

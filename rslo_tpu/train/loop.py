@@ -57,7 +57,8 @@ class Trainer:
 
     def init_state(self, example, pretrained: str | None = None,
                    pretrained_include: str | None = None,
-                   pretrained_exclude: str | None = None) -> TrainState:
+                   pretrained_exclude: str | None = None,
+                   ckpt_step: int | None = None) -> TrainState:
         variables = self.net.init(jax.random.PRNGKey(self.cfg.train.seed),
                                   example, train=False)
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
@@ -66,7 +67,7 @@ class Trainer:
             variables, self.tx,
             {"rot": self.cfg.loss.rotation_init_alpha,
              "trans": self.cfg.loss.translation_init_alpha})
-        restored = self.ckpt.restore(state)
+        restored = self.ckpt.restore(state, step=ckpt_step)
         if restored is not None:
             state = restored
             self.logger.log_text(

@@ -115,6 +115,8 @@ def cmd_eval(args):
     cfg_path.write_text(cfg.to_json())
     mdir = _model_dir(args.middle, args.supervised)
     argv = ["evaluate", "--config", str(cfg_path), "--model_dir", mdir]
+    if args.ckpt_step:
+        argv += ["--ckpt_step", str(args.ckpt_step)]
     if args.refine:
         argv.append("--refine")
     if args.refine_loops:
@@ -124,6 +126,8 @@ def cmd_eval(args):
     # cmd_evaluate writes eval_results.json into the model dir
     res = json.loads((Path(mdir) / "eval_results.json").read_text())
     tag = args.middle + ("_sup" if args.supervised else "")
+    if args.ckpt_step:
+        tag += f"_s{args.ckpt_step}"
     if args.refine:
         tag += "_refine"
     if args.refine_loops:
@@ -189,6 +193,7 @@ def main():
     e.add_argument("--supervised", action="store_true")
     e.add_argument("--refine", action="store_true")
     e.add_argument("--refine_loops", action="store_true")
+    e.add_argument("--ckpt_step", type=int, default=None)
     e.set_defaults(fn=cmd_eval)
     r = sub.add_parser("report")
     r.set_defaults(fn=cmd_report)
