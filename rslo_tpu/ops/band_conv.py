@@ -91,7 +91,11 @@ def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
     nB = -(-V // B)
     Vp = nB * B
     Wd = min(window, max(v_in, window))
-    vp_in = max(v_in, Wd)
+    # pad the in-row count to a sublane-tile multiple: the fused Pallas
+    # kernel's window DMA start must be divisible by the (bf16) sublane
+    # tiling, so bases are floor-aligned to 16 below and the clamp
+    # bound vp_in - Wd must stay aligned too (Wd is a lane multiple).
+    vp_in = -(-max(v_in, Wd) // 16) * 16
 
     idx = jnp.concatenate(
         [rulebook.idx,
@@ -104,6 +108,7 @@ def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
     big = jnp.iinfo(jnp.int32).max
     base = jnp.min(jnp.where(val_b, idx_b, big), axis=1)      # (nB, K)
     base = jnp.where(base == big, 0, base)
+    base = (base // 16) * 16                    # sublane-tile alignment
     base = jnp.clip(base, 0, vp_in - Wd).astype(jnp.int32)
 
     delta = idx_b - base[:, None, :]                          # (nB, B, K)

@@ -35,7 +35,7 @@ def main():
     frames, _ = synth_sequence(seed=0, n_frames=1, n_points=131072)
     pts = jnp.asarray(frames[0][None])
     msk = jnp.ones((1, pts.shape[1]), bool)
-    ex = prepare_example(pts, msk, voxelizer_config(cfg))
+    ex = prepare_example(pts, msk, voxelizer_config(cfg), mean_mode=True)
     coords = ex["coords"][0]
     vmask = ex["voxel_mask"][0]
     feats = ex["voxel_features"][0]
