@@ -50,7 +50,13 @@ def base_cfg(middle: str, steps: int):
         data=dataclasses.replace(
             cfg.data, root=str(H5), train_sequences=TRAIN_SEQS,
             val_sequences=VAL_SEQS, eval_train_sequences=(0,),
-            num_workers=2),
+            num_workers=2,
+            # Magnitude diversity (train-time only): the proxy world
+            # drives at constant per-sequence speed, which trains a
+            # magnitude-compressed translation head (diag_pairtypes:
+            # 1-step ratio 1.1, 2-step 0.69) — slerp pose interpolation
+            # and random window stride break the constant-speed prior.
+            random_skip=True, pose_interp_ratio=0.5),
         train=dataclasses.replace(cfg.train, steps=steps,
                                   steps_per_eval=max(steps // 4, 250),
                                   display_step=50),
@@ -86,9 +92,9 @@ def cmd_build(args):
         print("proxy store ready:", H5, flush=True)
 
 
-def _model_dir(middle, supervised):
-    tag = middle + ("_sup" if supervised else "")
-    return str(ROOT / f"model_{tag}")
+def _model_dir(middle, supervised, tag=""):
+    t = middle + ("_sup" if supervised else "") + (f"_{tag}" if tag else "")
+    return str(ROOT / f"model_{t}")
 
 
 def cmd_train(args):
@@ -100,7 +106,8 @@ def cmd_train(args):
     cfg_path = ROOT / f"train_{args.middle}.json"
     cfg_path.write_text(cfg.to_json())
     argv = ["train", "--config", str(cfg_path),
-            "--model_dir", _model_dir(args.middle, args.supervised)]
+            "--model_dir", _model_dir(args.middle, args.supervised,
+                                      args.tag)]
     if args.supervised:
         argv.append("--supervised")
     if args.init_from:
@@ -113,7 +120,7 @@ def cmd_eval(args):
     cfg = base_cfg(args.middle, 100)
     cfg_path = ROOT / f"eval_{args.middle}.json"
     cfg_path.write_text(cfg.to_json())
-    mdir = _model_dir(args.middle, args.supervised)
+    mdir = _model_dir(args.middle, args.supervised, args.tag)
     argv = ["evaluate", "--config", str(cfg_path), "--model_dir", mdir]
     if args.ckpt_step:
         argv += ["--ckpt_step", str(args.ckpt_step)]
@@ -126,6 +133,8 @@ def cmd_eval(args):
     # cmd_evaluate writes eval_results.json into the model dir
     res = json.loads((Path(mdir) / "eval_results.json").read_text())
     tag = args.middle + ("_sup" if args.supervised else "")
+    if args.tag:
+        tag += f"_{args.tag}"
     if args.ckpt_step:
         tag += f"_s{args.ckpt_step}"
     if args.refine:
@@ -185,6 +194,8 @@ def main():
     t.add_argument("--steps", type=int, default=3000)
     t.add_argument("--supervised", action="store_true")
     t.add_argument("--remat", type=int, default=None)
+    t.add_argument("--tag", default="",
+                   help="model-dir suffix for config experiments")
     t.add_argument("--init_from", default=None,
                    help="model dir to warm-start from (param surgery)")
     t.set_defaults(fn=cmd_train)
@@ -194,6 +205,7 @@ def main():
     e.add_argument("--refine", action="store_true")
     e.add_argument("--refine_loops", action="store_true")
     e.add_argument("--ckpt_step", type=int, default=None)
+    e.add_argument("--tag", default="")
     e.set_defaults(fn=cmd_eval)
     r = sub.add_parser("report")
     r.set_defaults(fn=cmd_report)

@@ -12,11 +12,15 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import os
 import rslo_tpu.utils.jax_cache  # noqa: F401
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("RSLO_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 from accuracy_proxy import base_cfg, _model_dir  # noqa: E402
