@@ -171,7 +171,7 @@ def cmd_train(args):
             tr.logger.log_text(f"image logging failed: {e}")
 
     state = trainer.fit(batches(), state, eval_hook=eval_hook,
-                        max_steps=args.steps)
+                        max_steps=args.leg_until or args.steps)
     trainer.logger.log_text(f"done at step {int(state.step)}")
 
 
@@ -249,6 +249,13 @@ def main(argv=None):
     t.add_argument("--config", default=None)
     t.add_argument("--model_dir", required=True)
     t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--leg_until", type=int, default=None,
+                   help="stop this process at the given step while the "
+                        "LR schedule/loader still span the full --steps "
+                        "run (leg-restart pattern for long trainings: "
+                        "host RSS grows through the device tunnel, so "
+                        "each leg exits at a checkpoint boundary and "
+                        "the next process resumes)")
     t.add_argument("--synthetic", action="store_true")
     t.add_argument("--supervised", action="store_true")
     t.add_argument("--pretrained", default=None,

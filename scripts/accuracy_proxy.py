@@ -108,6 +108,8 @@ def cmd_train(args):
     argv = ["train", "--config", str(cfg_path),
             "--model_dir", _model_dir(args.middle, args.supervised,
                                       args.tag)]
+    if args.leg_until:
+        argv += ["--leg_until", str(args.leg_until)]
     if args.supervised:
         argv.append("--supervised")
     if args.init_from:
@@ -196,6 +198,7 @@ def main():
     t.add_argument("--remat", type=int, default=None)
     t.add_argument("--tag", default="",
                    help="model-dir suffix for config experiments")
+    t.add_argument("--leg_until", type=int, default=None)
     t.add_argument("--init_from", default=None,
                    help="model dir to warm-start from (param surgery)")
     t.set_defaults(fn=cmd_train)
