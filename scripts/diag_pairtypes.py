@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from accuracy_proxy import base_cfg, _model_dir  # noqa: E402
 
 
-def main(middle: str, n: int, supervised: bool):
+def main(middle: str, n: int, supervised: bool, tag: str = ""):
     from jax.sharding import Mesh
     from rslo_tpu.data.dataset import KittiWindowDataset
     from rslo_tpu.data.loader import collate
@@ -37,8 +37,8 @@ def main(middle: str, n: int, supervised: bool):
     vcfg = voxelizer_config(cfg)
     ds = KittiWindowDataset(cfg.data, "train", seq_length=3)
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-    trainer = Trainer(cfg, _model_dir(middle, supervised), mesh,
-                      rank0=False)
+    trainer = Trainer(cfg, _model_dir(middle, supervised, tag),
+                      mesh, rank0=False)
 
     b0 = collate([ds[0]], cfg.data)
     ex0 = prepare_example(jnp.asarray(b0["points"][0]),
@@ -74,6 +74,10 @@ def main(middle: str, n: int, supervised: bool):
 
 
 if __name__ == "__main__":
+    tag = ""
+    for a in sys.argv:
+        if a.startswith("--tag="):
+            tag = a.split("=", 1)[1]
     main(sys.argv[1] if len(sys.argv) > 1 else "PillarMiddleCov",
          int(sys.argv[2]) if len(sys.argv) > 2 else 6,
-         "--supervised" in sys.argv)
+         "--supervised" in sys.argv, tag)
