@@ -202,8 +202,12 @@ def _windowed_pallas_conv(f_pad, w, base, sel, W: int, cdt):
         b = pl.program_id(0)
 
         def dma(k, slot):
+            # base is prefetched in units of 16 rows; multiplying by the
+            # static tile here lets Mosaic PROVE the dynamic DMA start is
+            # sublane-tile aligned (a raw runtime scalar cannot be proven
+            # divisible, even though build_band_index aligns its values).
             return pltpu.make_async_copy(
-                f_ref.at[pl.ds(base_ref[b, k], W)],
+                f_ref.at[pl.ds(base_ref[b, k] * 16, W)],
                 win.at[slot], sem.at[slot])
 
         dma(0, 0).start()
@@ -239,7 +243,7 @@ def _windowed_pallas_conv(f_pad, w, base, sel, W: int, cdt):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nB, B, Cout), jnp.float32),
-    )(base, sel, fc, wc)
+    )(base // 16, sel, fc, wc)
     return out.reshape(nB * B, Cout)
 
 
@@ -257,8 +261,9 @@ def _windowed_pallas_gather(f_pad, base, sel, W: int, cdt):
         b = pl.program_id(0)
 
         def dma(k, slot):
+            # see _windowed_pallas_conv: *16 makes alignment provable
             return pltpu.make_async_copy(
-                f_ref.at[pl.ds(base_ref[b, k], W)],
+                f_ref.at[pl.ds(base_ref[b, k] * 16, W)],
                 win.at[slot], sem.at[slot])
 
         dma(0, 0).start()
@@ -291,7 +296,7 @@ def _windowed_pallas_gather(f_pad, base, sel, W: int, cdt):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nB, B, K * Cin), cdt),
-    )(base, sel, fc)
+    )(base // 16, sel, fc)
     return out.reshape(nB * B, K * Cin)
 
 
