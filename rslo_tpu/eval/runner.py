@@ -35,31 +35,26 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
     gts = np.zeros((n, 7), np.float32)
     seq_ids = np.zeros((n,), np.int64)
 
-    t0 = time.time()
     sharding = NamedSharding(mesh, P("data"))
 
-    def launch(i):
+    def host_prep(i):
+        """HDF5 read + collate: CPU-bound, safe to run in threads (the
+        training loader uses the same pattern)."""
         idxs = [min(i + d, n - 1) for d in range(D)]
         samples = [dataset[k] for k in idxs]
         batch = collate(samples, cfg.data)
         batch.pop("meta")
+        return i, samples, batch
+
+    def dispatch(prepped):
+        i, samples, batch = prepped
         batch = jax.device_put(
             jax.tree.map(jnp.asarray, batch), sharding)
         out = eval_step(variables["params"],
                         variables.get("batch_stats", {}), batch)
         return i, samples, out
 
-    # pipeline: keep a couple of batches in flight so the dispatch/fetch
-    # round-trip overlaps device compute (the analog of the reference's
-    # async dataloader prefetch)
-    import collections
-    inflight = collections.deque()
-    nxt = 0
-    while nxt < n or inflight:
-        while nxt < n and len(inflight) < 3:
-            inflight.append(launch(nxt))
-            nxt += D
-        i, samples, out = inflight.popleft()
+    def record(i, samples, out):
         out = np.asarray(out)
         for d in range(D):
             k = i + d
@@ -68,8 +63,42 @@ def run_eval(net, variables, dataset, cfg: PipelineCfg, mesh,
             preds[k] = out[d, 0]
             gts[k] = samples[d]["odometry"][0]
             seq_ids[k] = samples[d]["seq"]
+
+    # Warm-up outside the clock: the first dispatch pays the jit
+    # compile (minutes through the axon remote-compile service), which
+    # would otherwise dominate and garble the reported throughput.
+    t_warm = time.time()
+    record(*dispatch(host_prep(0)))
+    t_warm = time.time() - t_warm
+    t0 = time.time()
+
+    # Two overlaps: a thread pool prefetches host-side sample prep
+    # (reference's async dataloader, evaluate.py:225-434), and a
+    # 3-deep dispatch pipeline hides the tunnel fetch RTT behind
+    # device compute.
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+    inflight = collections.deque()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        prep = collections.deque()
+        nxt = D  # window 0 done in warm-up
+        while nxt < n or prep or inflight:
+            while nxt < n and len(prep) < 4:
+                prep.append(pool.submit(host_prep, nxt))
+                nxt += D
+            while prep and prep[0].done() and len(inflight) < 3:
+                inflight.append(dispatch(prep.popleft().result()))
+            if not inflight:
+                if prep:
+                    inflight.append(dispatch(prep.popleft().result()))
+                else:
+                    break
+            record(*inflight.popleft())
     elapsed = time.time() - t0
-    fps = n / elapsed
+    if n > D:
+        fps = (n - D) / max(elapsed, 1e-9)
+    else:  # everything fit in the warm-up dispatch
+        elapsed, fps = t_warm, n / max(t_warm, 1e-9)
 
     results: Dict[str, dict] = {"_meta": {"windows": n,
                                           "elapsed_s": elapsed,

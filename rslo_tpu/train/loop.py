@@ -115,16 +115,23 @@ class Trainer:
         cfg = self.cfg.train
         total = max_steps or cfg.steps
         t_last = time.time()
+        # step counter lives on the HOST: fetching state.step from the
+        # device every iteration is a full pipeline barrier (~30 ms
+        # tunnel RTT each, and it serializes host prep/transfer with
+        # device compute).  The only steady-state syncs are the
+        # display_step metrics fetch and checkpoint saves.
+        step_i = None
         for batch in train_iter:
-            step_i = int(state.step)
+            if step_i is None:
+                step_i = int(state.step)   # one fetch to resume a leg
             if step_i >= total:
                 break
             warmup = (self.self_supervised and
                       step_i <= self.cfg.loss.warmup_steps)
-            batch_meta = batch.pop("meta", None)
+            batch.pop("meta", None)
             sharded = shard_batch(batch, self.mesh)
             state, metrics = self._step_fn(warmup)(state, sharded)
-            step_i = int(state.step)
+            step_i += 1
             if step_i % cfg.display_step == 0 or step_i <= 1:
                 metrics = jax.tree.map(float, jax.device_get(metrics))
                 dt = time.time() - t_last

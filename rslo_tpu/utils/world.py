@@ -263,12 +263,26 @@ class SynthWorld:
 
 def synth_trajectory(seed: int = 0, n_frames: int = 200,
                      pattern: str = "curve", speed: float = 8.0,
-                     dt: float = 0.1) -> np.ndarray:
+                     dt: float = 0.1,
+                     speed_profile: str = "walk") -> np.ndarray:
     """Smooth SE(3) trajectory in the world frame: (n_frames, 7) tq.
 
     pattern "curve": wandering yaw-rate drive (KITTI-like);
     pattern "loop": closed circuit that revisits its start (for
-    loop-closure evaluation)."""
+    loop-closure evaluation).
+
+    speed_profile "walk": small random-walk around ``speed`` (+-50%,
+    the original behavior — near-constant over window timescales).
+    "varied": piecewise speed targets (log-uniform 0.3-1.8x ``speed``
+    plus occasional near-stops) approached under a 2 m/s^2 accel limit
+    — urban-drive magnitude diversity, so translation-norm regression
+    cannot collapse to a per-sequence constant.  KITTI itself spans
+    0-~23 m/s within sequences; the "walk" proxy's near-constant speed
+    trained a magnitude-compressed translation head (BENCH_NOTES round
+    2).  Curve-pattern yaw rate is scaled by v/speed in varied mode
+    (constant curvature, Ackermann-like), so slow segments turn
+    slowly in place rather than spinning.  "varied" only applies to
+    pattern "curve"; loops keep the closure-timed yaw drive."""
     rng = np.random.default_rng(seed + 17)
     yaw = rng.uniform(0, 2 * np.pi)
     pos = np.array([0.0, 0.0, 0.0])
@@ -279,13 +293,28 @@ def synth_trajectory(seed: int = 0, n_frames: int = 200,
         circ_frames = int(n_frames * 0.8)
         yaw_rate0 = 2 * np.pi / (circ_frames * dt)
     v = speed
+    varied = speed_profile == "varied" and pattern == "curve"
+    v_tgt, next_switch = speed, 0
     for i in range(n_frames):
         if pattern == "loop":
             yr = yaw_rate0 * (1 + 0.05 * np.sin(i * 0.05))
         else:
             yr = 0.35 * np.sin(i * 0.02 + rng.uniform(-0.1, 0.1)) + \
                 rng.normal(0, 0.02)
-        v = np.clip(v + rng.normal(0, 0.15), speed * 0.5, speed * 1.5)
+        if varied:
+            if i >= next_switch:
+                if rng.uniform() < 0.15:
+                    v_tgt = rng.uniform(0.3, 1.5)      # near-stop
+                else:
+                    v_tgt = speed * np.exp(
+                        rng.uniform(np.log(0.3), np.log(1.8)))
+                next_switch = i + int(rng.integers(30, 90))
+            dv = np.clip(v_tgt - v, -2.0 * dt, 2.0 * dt)
+            v = max(v + dv + rng.normal(0, 0.05), 0.0)
+            yr = yr * (v / speed)
+        else:
+            v = np.clip(v + rng.normal(0, 0.15), speed * 0.5,
+                        speed * 1.5)
         yaw += yr * dt
         pos = pos + v * dt * np.array([np.cos(yaw), np.sin(yaw), 0.0])
         z = 0.0 + 0.03 * np.sin(i * 0.05)
@@ -318,7 +347,8 @@ def render_sequence(world: SynthWorld, poses: np.ndarray, seed: int = 0,
 
 def write_kitti_tree(root, seqs: dict, world_seed: int = 0,
                      n_beams: int = 64, n_azimuth: int = 2048,
-                     progress: bool = False, world_kwargs: dict = None):
+                     progress: bool = False, world_kwargs: dict = None,
+                     speed_profile: str = "walk"):
     """Write rendered sequences as a KITTI odometry raw tree consumable
     by ``cli create_hdf5`` (velodyne .bin + camera-frame poses + calib).
 
@@ -343,7 +373,8 @@ def write_kitti_tree(root, seqs: dict, world_seed: int = 0,
             f.write("Tr: 0 -1 0 0 0 0 -1 0 1 0 0 0\n")
         poses = synth_trajectory(seed=world_seed * 100 + seq,
                                  n_frames=n_frames, pattern=pattern,
-                                 speed=speed)
+                                 speed=speed,
+                                 speed_profile=speed_profile)
         frames, odom = render_sequence(world, poses,
                                        seed=world_seed * 100 + seq,
                                        n_beams=n_beams,

@@ -82,7 +82,8 @@ def cmd_build(args):
             {int(s): SEQS[int(s)] for s in args.seqs.split(",")})
     if not args.h5_only:
         gt = write_kitti_tree(TREE, seqs, world_seed=args.world_seed,
-                              progress=True)
+                              progress=True,
+                              speed_profile=args.profile)
         np.savez(ROOT / f"gt_poses_{'_'.join(map(str, seqs))}.npz",
                  **{f"seq{k}": v[0] for k, v in gt.items()})
     if args.seqs is None or args.h5_only:
@@ -190,6 +191,11 @@ def main():
     b.add_argument("--seqs", default=None,
                    help="comma list; render only these (parallel use)")
     b.add_argument("--h5_only", action="store_true")
+    b.add_argument("--profile", default="walk",
+                   choices=("walk", "varied"),
+                   help="speed profile; 'varied' = urban-drive "
+                        "magnitude diversity (use a fresh "
+                        "RSLO_PROXY_ROOT so v1 artifacts survive)")
     b.set_defaults(fn=cmd_build)
     t = sub.add_parser("train")
     t.add_argument("--middle", default="PillarMiddleCov")

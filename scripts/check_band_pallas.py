@@ -66,6 +66,27 @@ def main():
     print(f"L0 subm conv max abs err {err:.5f} (rel {rel:.2e})", flush=True)
     assert rel < 2e-2, "pallas band conv diverges from rulebook"
 
+    # --- backward: tap-flip transpose kernel vs rulebook VJP
+    def loss_band(f_, w_):
+        o = bc.band_conv_apply(f_, geo_bd.sub_rb[0], w_, b,
+                               geo_rb.levels[0].mask, impl="pallas")
+        return jnp.sum(o * o)
+
+    def loss_rb(f_, w_):
+        o = sc.sparse_conv_apply(f_.astype(jnp.bfloat16),
+                                 geo_rb.sub_rb[0],
+                                 w_.astype(jnp.bfloat16), b,
+                                 geo_rb.levels[0].mask)
+        return jnp.sum(o * o)
+
+    (df_b, dw_b) = jax.jit(jax.grad(loss_band, argnums=(0, 1)))(f, w)
+    (df_r, dw_r) = jax.jit(jax.grad(loss_rb, argnums=(0, 1)))(f, w)
+    for name, gb, gr in (("df", df_b, df_r), ("dw", dw_b, dw_r)):
+        gb, gr = np.asarray(gb, np.float32), np.asarray(gr, np.float32)
+        grel = np.abs(gb - gr).max() / (np.abs(gr).max() + 1e-9)
+        print(f"backward {name} rel err {grel:.2e}", flush=True)
+        assert grel < 5e-2, f"band backward {name} diverges"
+
     # --- microbench: chained conv applications, single fetch
     def chain(apply):
         def run(f0):
