@@ -93,15 +93,51 @@ def main(middle: str, L: int):
 
     t_fwd = bench("fwd eval (L frames)", fwd, variables, pts, pm)
 
+    # loss VALUE only (no grad): isolates the backward exactly as
+    # (step self-sup) - (this) - (update overhead)
+    from rslo_tpu.data.prepare import mean_vfe_ok
+    from rslo_tpu.losses.objective import compute_objective
+    pc_range = cfg.voxelizer.point_cloud_range
+    mm = mean_vfe_ok(cfg)
+
+    @jax.jit
+    def loss_only(v, alphas, p, m, odom):
+        e = prepare_example(p, m, vcfg, mean_mode=mm)
+        e["odometry"] = odom
+        preds, _ = net.apply(v, e, train=True, mutable=["batch_stats"])
+        return compute_objective(preds, e, alphas, cfg.loss, pc_range,
+                                 warmup=False,
+                                 self_supervised=True).total
+
+    t_loss = bench("fwd+loss self-sup (no bwd)", loss_only, variables,
+                   {"rot": jnp.float32(-2.5), "trans": jnp.float32(0.0)},
+                   pts, pm, batch["odometry"][0])
+
+    def bench_step(name, step_fn, st, b, n=5):
+        # the train step DONATES its state argument: chain the returned
+        # state through the reps (one fetch per n steps — dispatches
+        # cost ~1 ms each, only the fetch pays the tunnel RTT)
+        t0 = time.perf_counter()
+        st, m = step_fn(st, b)
+        np.asarray(m["loss"]).ravel()[:1]
+        c = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st, m = step_fn(st, b)
+        np.asarray(m["loss"]).ravel()[:1]
+        dt = (time.perf_counter() - t0) / n * 1e3
+        print(f"{name:24s} {dt:8.1f} ms  (compile {c:.0f}s)", flush=True)
+        return dt, st
+
     sup = make_train_step(net, tx, cfg, mesh, warmup=False,
                           self_supervised=False)
-    st2, _ = sup(state, batch)   # burn separate state to keep shapes
-    t_sup = bench("step supervised", lambda s, b: sup(s, b)[1]["loss"],
-                  state, batch)
+    t_sup, state = bench_step("step supervised", sup, state, batch)
     full = make_train_step(net, tx, cfg, mesh, warmup=False)
-    t_full = bench("step self-supervised",
-                   lambda s, b: full(s, b)[1]["loss"], state, batch)
+    t_full, state = bench_step("step self-supervised", full, state,
+                               batch)
     print(f"\nderived: net fwd ~{t_fwd - t_vox:.0f} ms | "
+          f"self-sup loss fwd ~{t_loss - t_fwd:.0f} ms | "
+          f"backward+update ~{t_full - t_loss:.0f} ms | "
           f"supervised bwd+update ~{t_sup - t_fwd:.0f} ms | "
           f"consistency(+bwd) ~{t_full - t_sup:.0f} ms | "
           f"voxelize {t_vox:.0f} ms", flush=True)
