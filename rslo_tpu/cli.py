@@ -149,6 +149,28 @@ def cmd_train(args):
                        plot_dir=f"{args.model_dir}/plots/step_{step_i}")
         if "avg" in res:
             tr.logger.log_metrics({"eval": res["avg"]}, step_i)
+            # best-checkpoint tracking (the reference's eval_once model
+            # selection, train_hdf5.py:790-807): evaluate --ckpt_step
+            # best reads this back.  Primary key t_rel_pct, frame_t_err
+            # as tiebreak-ish fallback when segments are unavailable.
+            key = res["avg"].get("t_rel_pct")
+            if key is None:
+                key = res["avg"].get("frame_t_err_m")
+            best_p = Path(args.model_dir) / "best_ckpt.json"
+            prev = (json.loads(best_p.read_text())
+                    if best_p.exists() else None)
+            if key is not None and (prev is None or key < prev["metric"]):
+                best_p.write_text(json.dumps(
+                    {"step": step_i, "metric": float(key),
+                     "metric_name": ("t_rel_pct"
+                                     if "t_rel_pct" in res["avg"]
+                                     else "frame_t_err_m"),
+                     "avg": {k: float(v)
+                             for k, v in res["avg"].items()}}))
+                tr.ckpt.preserve(step_i)  # survive max_to_keep pruning
+                tr.logger.log_text(
+                    f"new best checkpoint: step {step_i} "
+                    f"({key:.3f})")
         # image observability (the reference's tq-map/conf/mask images,
         # train_hdf5.py:749-787)
         try:
@@ -203,7 +225,21 @@ def cmd_evaluate(args):
     ex0 = prepare_example(jnp.asarray(b0["points"][0]),
                           jnp.asarray(b0["point_mask"][0]), vcfg)
     ex0["odometry"] = jnp.asarray(b0["odometry"][0])
-    state = trainer.init_state(ex0, ckpt_step=args.ckpt_step)
+    ckpt_step = args.ckpt_step
+    if ckpt_step == "best":
+        best_p = Path(args.model_dir) / "best_ckpt.json"
+        if not best_p.exists():
+            raise SystemExit("--ckpt_step best: no best_ckpt.json in "
+                             f"{args.model_dir} (train with periodic "
+                             "eval first)")
+        best = json.loads(best_p.read_text())
+        ckpt_step = int(best["step"])
+        trainer.logger.log_text(
+            f"evaluating best checkpoint: step {ckpt_step} "
+            f"({best['metric_name']}={best['metric']:.3f})")
+    elif ckpt_step is not None:
+        ckpt_step = int(ckpt_step)
+    state = trainer.init_state(ex0, ckpt_step=ckpt_step)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.refine or args.refine_ba or args.refine_loops:
         results = run_eval_refined(
@@ -270,9 +306,10 @@ def main(argv=None):
     e.add_argument("--model_dir", required=True)
     e.add_argument("--synthetic", action="store_true")
     e.add_argument("--max_windows", type=int, default=None)
-    e.add_argument("--ckpt_step", type=int, default=None,
-                   help="evaluate a specific checkpoint step "
-                        "(default: latest)")
+    e.add_argument("--ckpt_step", default=None,
+                   help="evaluate a specific checkpoint step, or 'best' "
+                        "(periodic-val model selection via "
+                        "best_ckpt.json; default: latest)")
     e.add_argument("--refine", action="store_true")
     e.add_argument("--refine_ba", action="store_true",
                    help="refine with geometric bundle adjustment "

@@ -30,6 +30,24 @@ class CheckpointManager:
     def latest_step(self):
         return self.mgr.latest_step()
 
+    def preserve(self, step: int):
+        """Copy a saved step into the pruning-immune ``ckpt_best/``
+        sibling (best-checkpoint retention: max_to_keep prunes oldest
+        steps, which on long leg-restarted runs can include the best
+        periodic-val step).  Keeps exactly one preserved step."""
+        import shutil
+        src = self.dir / str(step)
+        if not src.exists():
+            return
+        dst_root = self.dir.parent / "ckpt_best"
+        tmp = self.dir.parent / ".ckpt_best.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        shutil.copytree(src, tmp / str(step))
+        if dst_root.exists():
+            shutil.rmtree(dst_root)
+        tmp.rename(dst_root)
+
     @staticmethod
     def restore_raw_from(path: str) -> dict:
         """Restore another run's latest checkpoint as a raw pytree
@@ -48,5 +66,11 @@ class CheckpointManager:
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return None
+        if step not in (self.mgr.all_steps() or []):
+            alt = self.dir.parent / "ckpt_best"
+            if (alt / str(step)).exists():
+                mgr = ocp.CheckpointManager(alt.resolve())
+                return mgr.restore(
+                    step, args=ocp.args.StandardRestore(state_template))
         return self.mgr.restore(
             step, args=ocp.args.StandardRestore(state_template))

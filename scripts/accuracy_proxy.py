@@ -213,7 +213,8 @@ def main():
     e.add_argument("--supervised", action="store_true")
     e.add_argument("--refine", action="store_true")
     e.add_argument("--refine_loops", action="store_true")
-    e.add_argument("--ckpt_step", type=int, default=None)
+    e.add_argument("--ckpt_step", default=None,
+                   help="step number or 'best' (best_ckpt.json)")
     e.add_argument("--tag", default="")
     e.set_defaults(fn=cmd_eval)
     r = sub.add_parser("report")

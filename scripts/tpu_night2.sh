@@ -48,14 +48,16 @@ step 3600 /tmp/proxy_eval_pillar_best.log python -u scripts/accuracy_proxy.py \
   eval --middle PillarMiddleCov --ckpt_step 5625
 
 # --- 3. aug pillar retrain (the magnitude fix under test), short legs -
-for S in 1500 3000 4500 6000; do
+for S in 1500 3000 4500 6000 7500 9000; do
   echo "=== aug leg to $S ===" >> /tmp/proxy_train_aug.log
   step 7200 /tmp/proxy_train_aug_leg$S.log python -u scripts/accuracy_proxy.py \
-    train --middle PillarMiddleCov --steps 6000 --leg_until $S --remat 0 --tag aug
+    train --middle PillarMiddleCov --steps 9000 --leg_until $S --remat 0 --tag aug
   cat /tmp/proxy_train_aug_leg$S.log >> /tmp/proxy_train_aug.log
 done
 step 3600 /tmp/proxy_eval_aug.log python -u scripts/accuracy_proxy.py \
   eval --middle PillarMiddleCov --tag aug
+step 3600 /tmp/proxy_eval_aug_best.log python -u scripts/accuracy_proxy.py \
+  eval --middle PillarMiddleCov --tag aug --ckpt_step best
 step 3600 /tmp/diag_pairtypes_aug.log python -u scripts/diag_pairtypes.py \
   PillarMiddleCov 6 --tag=aug
 

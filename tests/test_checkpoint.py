@@ -38,3 +38,21 @@ def test_max_to_keep_prunes(tmp_path):
     assert steps == [2, 3]
     r = mgr.restore(make_state(0.0), step=3)
     np.testing.assert_allclose(np.asarray(r.params["w"]), 3.0)
+
+
+def test_preserve_survives_pruning(tmp_path):
+    """A preserved (best) step stays restorable after max_to_keep
+    prunes it from the main store (ckpt_best/ fallback)."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(1, make_state(1.0))
+    mgr.preserve(1)
+    for step in (2, 3):
+        mgr.save(step, make_state(float(step)))
+    assert 1 not in (mgr.mgr.all_steps() or [])
+    r = mgr.restore(make_state(0.0), step=1)
+    np.testing.assert_allclose(np.asarray(r.params["w"]), 1.0)
+    # preserving a newer best replaces the old one
+    mgr.preserve(3)
+    assert not (tmp_path / "ckpt_best" / "1").exists()
+    r3 = mgr.restore(make_state(0.0), step=3)
+    np.testing.assert_allclose(np.asarray(r3.params["w"]), 3.0)
