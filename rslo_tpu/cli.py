@@ -135,7 +135,12 @@ def cmd_train(args):
         eval_ds = _synthetic_dataset(cfg, "val", n_windows=16)
     else:
         try:
-            eval_ds = KittiWindowDataset(cfg.data, "val", seq_length=2)
+            # KITTI metrics are over CONSECUTIVE frames: the periodic
+            # val walk pins skip=1 even when training uses a larger
+            # window stride (random_skip magnitude diversity)
+            eval_ds = KittiWindowDataset(
+                dataclasses.replace(cfg.data, skip=1), "val",
+                seq_length=2)
         except Exception:
             eval_ds = None
 

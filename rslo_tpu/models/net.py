@@ -84,7 +84,11 @@ class OdomNet(nn.Module):
             feats.append(f)
 
         x1, x2 = cycle_pairs(bevs)
-        preds = self.bev_net(jnp.concatenate([x1, x2], axis=-1), train)
+        # spatial-partitioning hook: no-op unless tracing inside
+        # parallel.spatial.make_spatial_forward (SP over grid width)
+        from ..parallel.spatial import bev_constraint
+        pair_in = bev_constraint(jnp.concatenate([x1, x2], axis=-1))
+        preds = self.bev_net(pair_in, train)
         return self._finalize(preds, feats, covs, vmask, normal_gts, L)
 
     def _finalize(self, preds, feats, covs, vmask, normal_gts, L):

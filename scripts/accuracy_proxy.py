@@ -55,8 +55,11 @@ def base_cfg(middle: str, steps: int):
             # drives at constant per-sequence speed, which trains a
             # magnitude-compressed translation head (diag_pairtypes:
             # 1-step ratio 1.1, 2-step 0.69) — slerp pose interpolation
-            # and random window stride break the constant-speed prior.
-            random_skip=True, pose_interp_ratio=0.5),
+            # (sub-1x magnitudes) and random window stride break the
+            # constant-speed prior.  skip=2 makes random_skip REAL
+            # (with skip=1 the stride choice set is {1}): strides
+            # {1,2} give super-1x magnitudes up to ~2.2 m.
+            skip=2, random_skip=True, pose_interp_ratio=0.5),
         train=dataclasses.replace(cfg.train, steps=steps,
                                   steps_per_eval=max(steps // 4, 250),
                                   display_step=50),
@@ -121,6 +124,10 @@ def cmd_train(args):
 def cmd_eval(args):
     from rslo_tpu.cli import main
     cfg = base_cfg(args.middle, 100)
+    # eval walks CONSECUTIVE frames (the KITTI metric's semantics);
+    # the train-time stride/interp knobs must not leak into val
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, skip=1, random_skip=False, pose_interp_ratio=0.0))
     cfg_path = ROOT / f"eval_{args.middle}.json"
     cfg_path.write_text(cfg.to_json())
     mdir = _model_dir(args.middle, args.supervised, args.tag)
