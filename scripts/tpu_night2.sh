@@ -79,4 +79,24 @@ step 7200 /tmp/train_breakdown_pillar.log python -u \
   scripts/profile_train_breakdown.py pillar 3
 step 7200 /tmp/bench_r2_final.log python -u bench.py
 python scripts/accuracy_proxy.py report > /tmp/proxy_report_final.log 2>&1
+
+# --- 6. bonus (time permitting): world-v2 retrain ---------------------
+# The varied-speed world (data-level magnitude diversity). Only runs if
+# the CPU-side v2 build finished.
+if [ -f /tmp/rslo_proxy_v2/proxy.h5 ]; then
+  for S in 2250 4500 6750 9000; do
+    step 7200 /tmp/proxy_v2_train_leg$S.log \
+      env RSLO_PROXY_ROOT=/tmp/rslo_proxy_v2 python -u \
+      scripts/accuracy_proxy.py train --middle PillarMiddleCov \
+      --steps 9000 --leg_until $S --remat 0
+  done
+  step 3600 /tmp/proxy_v2_eval.log \
+    env RSLO_PROXY_ROOT=/tmp/rslo_proxy_v2 python -u \
+    scripts/accuracy_proxy.py eval --middle PillarMiddleCov
+  step 3600 /tmp/proxy_v2_eval_best.log \
+    env RSLO_PROXY_ROOT=/tmp/rslo_proxy_v2 python -u \
+    scripts/accuracy_proxy.py eval --middle PillarMiddleCov --ckpt_step best
+  env RSLO_PROXY_ROOT=/tmp/rslo_proxy_v2 python \
+    scripts/accuracy_proxy.py report > /tmp/proxy_report_v2.log 2>&1
+fi
 echo "TPU NIGHT2 DONE"
