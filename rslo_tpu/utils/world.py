@@ -178,60 +178,77 @@ class SynthWorld:
             best_n[upd] = self._ground_normal(hxy[upd])
             best_refl[upd] = self.g_refl
 
-        # rectangles, vectorized (R rays x W rects)
+        # rectangles, vectorized (chunked R rays x W rects, f32): the
+        # in-plane coords of the hitpoint are affine in t, so the inside
+        # test needs only (R, W) broadcasts of precomputed dot products
+        # (a = (t d.u - po.u)/|u|^2), never (R, W, 3) intermediates.
+        d32 = d.astype(np.float32)
         if self.rects:
-            denom = d @ self._rn.T                       # (R, W)
-            po = self._rp0 - origin[None]                 # (W, 3)
-            num = (po * self._rn).sum(-1)[None]           # (1, W)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                tw = num / denom                          # (R, W)
-            tw = np.where(np.abs(denom) > 1e-9, tw, np.inf)
-            valid = (tw > min_range) & (tw < max_range)
-            # local rectangle coords of the hitpoints
-            # hit = o + t d; a = (hit - p0) . u / |u|^2 in [0, 1]
-            # evaluate only where valid to keep memory in check
-            r_idx, w_idx = np.nonzero(valid)
-            if len(r_idx):
-                hit = origin[None] + tw[r_idx, w_idx, None] * d[r_idx]
-                rel = hit - self._rp0[w_idx]
-                a = (rel * self._ru[w_idx]).sum(-1) / self._ru2[w_idx]
-                b = (rel * self._rv[w_idx]).sum(-1) / self._rv2[w_idx]
-                inside = (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
-                r_idx, w_idx = r_idx[inside], w_idx[inside]
-                tcand = tw[r_idx, w_idx]
-                # nearest hit per ray (reduce duplicates)
-                order = np.argsort(tcand)
-                r_s, t_s, w_s = r_idx[order], tcand[order], w_idx[order]
-                first = np.unique(r_s, return_index=True)[1]
-                r_f, t_f, w_f = r_s[first], t_s[first], w_s[first]
-                upd = t_f < best_t[r_f]
-                r_f, t_f, w_f = r_f[upd], t_f[upd], w_f[upd]
-                best_t[r_f] = t_f
-                best_n[r_f] = self._rn[w_f]
-                best_refl[r_f] = self._rrefl[w_f]
+            rn = self._rn.astype(np.float32)
+            ru = self._ru.astype(np.float32)
+            rv = self._rv.astype(np.float32)
+            po = (self._rp0 - origin[None]).astype(np.float32)   # (W, 3)
+            num = (po * rn).sum(-1)                              # (W,)
+            pou = (po * ru).sum(-1)
+            pov = (po * rv).sum(-1)
+            u2 = self._ru2.astype(np.float32)
+            v2 = self._rv2.astype(np.float32)
+            chunk = 32768
+            for s in range(0, nrays, chunk):
+                dch = d32[s:s + chunk]
+                dn = dch @ rn.T                                   # (r, W)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tw = num[None] / dn
+                    tw = np.where(np.abs(dn) > 1e-9, tw, np.inf)
+                    a = (tw * (dch @ ru.T) - pou[None]) / u2[None]
+                    b = (tw * (dch @ rv.T) - pov[None]) / v2[None]
+                valid = ((tw > min_range) & (tw < max_range) &
+                         (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1))
+                tw = np.where(valid, tw, np.inf)
+                j = np.argmin(tw, axis=1)
+                rows = np.arange(tw.shape[0])
+                t_f = tw[rows, j]
+                upd = t_f < best_t[s:s + chunk]
+                rf = rows[upd]
+                best_t[s + rf] = t_f[rf]
+                best_n[s + rf] = self._rn[j[rf]]
+                best_refl[s + rf] = self._rrefl[j[rf]]
 
-        # cylinders
-        for cx, cy, rad, h, refl in self.cyls:
-            ox, oy = origin[0] - cx, origin[1] - cy
-            a = d[:, 0] ** 2 + d[:, 1] ** 2
-            b = 2 * (ox * d[:, 0] + oy * d[:, 1])
-            c = ox * ox + oy * oy - rad * rad
+        # cylinders, vectorized (R rays x C cylinders, f32)
+        if len(self.cyls):
+            cxs = self.cyls[:, 0].astype(np.float32)
+            cys = self.cyls[:, 1].astype(np.float32)
+            rads = self.cyls[:, 2].astype(np.float32)
+            hs = self.cyls[:, 3].astype(np.float32)
+            refls = self.cyls[:, 4]
+            zgs = self._ground(self.cyls[:, :2]).astype(np.float32)
+            ox = np.float32(origin[0]) - cxs                    # (C,)
+            oy = np.float32(origin[1]) - cys
+            dx, dy, dzr = d32[:, 0:1], d32[:, 1:2], d32[:, 2:3]
+            a = dx * dx + dy * dy                               # (R, 1)
+            b = 2 * (ox[None] * dx + oy[None] * dy)             # (R, C)
+            c = (ox * ox + oy * oy - rads * rads)[None]
             disc = b * b - 4 * a * c
             with np.errstate(invalid="ignore", divide="ignore"):
                 tc = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a)
-            zhit = origin[2] + tc * d[:, 2]
-            zg = self._ground(np.array([[cx, cy]]))[0]
+            zhit = np.float32(origin[2]) + tc * dzr
             ok = ((disc > 0) & (tc > min_range) & (tc < max_range) &
-                  (zhit > zg) & (zhit < zg + h) & (tc < best_t))
-            if np.any(ok):
-                hxy = origin[None, :2] + tc[ok, None] * d[ok, :2]
-                nrm = np.concatenate(
-                    [hxy - np.array([[cx, cy]]),
-                     np.zeros((ok.sum(), 1))], axis=1)
-                nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-12
-                best_t[ok] = tc[ok]
-                best_n[ok] = nrm
-                best_refl[ok] = refl
+                  (zhit > zgs[None]) & (zhit < (zgs + hs)[None]))
+            tc = np.where(ok, tc, np.inf)
+            j = np.argmin(tc, axis=1)
+            rows = np.arange(nrays)
+            t_f = tc[rows, j]
+            upd = t_f < best_t
+            rf = rows[upd]
+            jf = j[rf]
+            hxy = origin[None, :2] + t_f[rf, None] * d[rf, :2]
+            nrm = np.concatenate(
+                [hxy - np.stack([cxs[jf], cys[jf]], axis=1),
+                 np.zeros((len(rf), 1))], axis=1)
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-12
+            best_t[rf] = t_f[rf]
+            best_n[rf] = nrm
+            best_refl[rf] = refls[jf]
 
         hit_mask = np.isfinite(best_t)
         # grazing-incidence dropout: return probability falls with the
