@@ -406,9 +406,26 @@ def band_conv_apply(features: jax.Array, band: BandIndex,
             [f, jnp.zeros((band.v_in - f.shape[0], Cin), f.dtype)], 0)
 
     if _pick_impl(band, impl) == "pallas":
-        out = _full_pallas(f, weights, band.base, band.sel, band.ov_out,
+        # Mosaic requires every manual memref slice to be lane-tile
+        # (128) aligned, including the window DMA's channel extent —
+        # pad Cin/Cout up to 128 multiples.  This moves no extra HBM
+        # bytes (XLA already pads TPU arrays' minor dim to 128 lanes)
+        # and the padded weight rows/cols are zero, so the valid
+        # columns are unchanged.
+        lane = 128
+        cout = weights.shape[-1]
+        cin_p = -(-Cin // lane) * lane
+        cout_p = -(-cout // lane) * lane
+        fp = (f if cin_p == Cin else
+              jnp.pad(f, ((0, 0), (0, cin_p - Cin))))
+        wp = (weights if (cin_p, cout_p) == (Cin, cout) else
+              jnp.pad(weights, ((0, 0), (0, cin_p - Cin),
+                                (0, cout_p - cout))))
+        out = _full_pallas(fp, wp, band.base, band.sel, band.ov_out,
                            band.ov_in, band.ov_tap, W, compute_dtype,
                            band.self_transpose)
+        if cout_p != cout:
+            out = out[:, :cout]
     else:
         out = _full_xla(f, weights, band.base, band.sel, band.ov_out,
                         band.ov_in, band.ov_tap, W, compute_dtype)
