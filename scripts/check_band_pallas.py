@@ -48,7 +48,8 @@ def main():
 
     rng = np.random.default_rng(0)
     C = 16
-    f = jnp.asarray(rng.normal(size=(caps[0], C)).astype(np.float32))
+    v0 = geo_rb.levels[0].mask.shape[0]  # voxelizer cap, not caps[0]
+    f = jnp.asarray(rng.normal(size=(v0, C)).astype(np.float32))
     f = jnp.where(geo_rb.levels[0].mask[:, None], f, 0.0)
     w = jnp.asarray(rng.normal(size=(27, C, C)).astype(np.float32) * 0.1)
     b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
