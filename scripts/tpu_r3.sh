@@ -49,7 +49,7 @@ STORE_PID=$!
 
 # --- 1. quick TPU insurance while the store lands ---------------------
 step 1800 /tmp/bench_r3.log python -u bench.py
-step 900 /tmp/band_check_r3.log python -u scripts/check_band_pallas.py
+step 900 /tmp/band_stages_r3.log python -u scripts/profile_band_stages.py
 
 wait $STORE_PID
 
