@@ -29,7 +29,10 @@ from rslo_tpu.utils.synthetic import synth_sequence
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     cfg = PipelineCfg()
-    grid = voxelizer_config(cfg).grid_size  # (nz, ny, nx)
+    # Model-linearization shape (nz+1, ny, nx) — net.py::sparse_shape.
+    # (vcfg.grid_size is (nx, ny, nz); using it here aliased voxel ids.)
+    nx, ny, nz = voxelizer_config(cfg).grid_size
+    grid = (int(nz) + 1, int(ny), int(nx))
     caps = cfg.middle.level_capacities
 
     frames, _ = synth_sequence(seed=0, n_frames=1, n_points=131072)

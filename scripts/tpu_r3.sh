@@ -29,8 +29,10 @@ step() {  # step <timeout_s> <log> <cmd...>
 # --- 0. proxy store: restore stash or parallel rebuild (CPU) ----------
 (
   mkdir -p /tmp/rslo_proxy
-  if [ -f .proxy_store/proxy.h5 ]; then
-    cp .proxy_store/proxy.h5 .proxy_store/gt_poses_*.npz /tmp/rslo_proxy/
+  if [ -f .proxy_store/proxy.h5 ] \
+     && cp .proxy_store/proxy.h5 /tmp/rslo_proxy/ \
+     && cp .proxy_store/gt_poses_*.npz /tmp/rslo_proxy/; then
+    # checkpoint stash is optional; store restore is not
     cp -r .proxy_store/model_PillarMiddleCov_aug /tmp/rslo_proxy/ 2>/dev/null
     touch /tmp/rslo_proxy/proxy.h5.done
     echo "restored store from .proxy_store" >> /tmp/tpu_r3.log
