@@ -1,13 +1,24 @@
 """Benchmark: steady-state two-frame odometry inference throughput on the
-KITTI-scale workload (one chip).
+KITTI-scale workload (one chip), for BOTH execution paths:
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  * pillar  — PillarMiddleCov, the redesigned TPU flagship;
+  * sparse  — SparseMiddleCov, the reference-parity architecture
+    (engine from the committed config default).
+
+Prints ONE JSON line.  The headline value is the flagship (pillar);
+the sparse-path number rides along in the same line so the committed
+parity configuration is always visibly reported (VERDICT r2 weak #1):
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "middle": "PillarMiddleCov", "sparse_fps": M, "sparse_engine": "..."}
 
 Baseline context: the reference publishes no numbers (SURVEY.md §6); the
 driver's north star is >=2x the reference GPU frames/s per chip.  The
 RA-L paper's pipeline runs ~10 Hz-class on a V100-era GPU; we report
 absolute frames/s and vs_baseline against BASELINE_FPS below.
+
+Env: RSLO_BENCH_MIDDLE=PillarMiddleCov|SparseMiddleCov restricts to one
+model (that model then provides the headline); RSLO_BENCH_ENGINE
+overrides the sparse engine.
 """
 import json
 import sys
@@ -25,18 +36,18 @@ import numpy as np
 BASELINE_FPS = 10.0
 
 
-def main():
+def bench_middle(middle: str, engine: str, n_iter: int = 16) -> float:
+    """Steady-state two-frame forward fps for one middle config."""
     import jax
     import jax.numpy as jnp
+    import dataclasses
     from rslo_tpu.config.schema import PipelineCfg
-    from rslo_tpu.data.prepare import prepare_example, voxelizer_config
+    from rslo_tpu.data.prepare import (prepare_example, voxelizer_config,
+                                       mean_vfe_ok)
     from rslo_tpu.models.net import OdomNet
     from rslo_tpu.utils.synthetic import synth_sequence
 
-    import dataclasses
     cfg = PipelineCfg()  # full KITTI-scale defaults
-    middle = os.environ.get("RSLO_BENCH_MIDDLE", "PillarMiddleCov")
-    engine = os.environ.get("RSLO_BENCH_ENGINE", cfg.middle.engine)
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, seq_length=2),
         middle=dataclasses.replace(cfg.middle, name=middle,
@@ -44,12 +55,10 @@ def main():
     net = OdomNet(cfg)
     vcfg = voxelizer_config(cfg)
 
-    n_points = cfg.data.max_points
-    frames, _ = synth_sequence(seed=0, n_frames=2, n_points=n_points)
+    frames, _ = synth_sequence(seed=0, n_frames=2,
+                               n_points=cfg.data.max_points)
     pts = jnp.asarray(np.stack(frames))
     mask = jnp.ones(pts.shape[:2], bool)
-
-    from rslo_tpu.data.prepare import mean_vfe_ok
     mean_mode = mean_vfe_ok(cfg)
 
     @jax.jit
@@ -61,19 +70,16 @@ def main():
     example = jax.jit(
         lambda p, m: prepare_example(p, m, vcfg))(pts, mask)
     jax.block_until_ready(example)
-    print(f"# voxelize compile+run: {time.time()-t0:.1f}s",
-          file=sys.stderr, flush=True)
-    t0 = time.time()
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), example, train=False)
     jax.block_until_ready(variables)
-    print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(f"# [{middle}/{engine}] init: {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.time()
     out = forward(variables, pts, mask)
     jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    print(f"# forward compile: {compile_s:.1f}s", file=sys.stderr,
-          flush=True)
+    print(f"# [{middle}/{engine}] forward compile: {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     # steady state: each call voxelizes BOTH frames + full net forward.
     # NOTE: on the axon backend block_until_ready does NOT synchronize —
@@ -81,20 +87,41 @@ def main():
     # Streaming deployment pipelines dispatch against compute, so we
     # enqueue the window then drain the outputs.
     np.asarray(forward(variables, pts, mask))  # warm
-    n_iter = 16
     t0 = time.time()
     outs = [forward(variables, pts, mask) for _ in range(n_iter)]
     for o in outs:
         np.asarray(o)
     dt = (time.time() - t0) / n_iter
-    fps = 1.0 / dt  # one new frame per step in odometry streaming
+    return 1.0 / dt  # one new frame per step in odometry streaming
 
-    print(json.dumps({
+
+def main():
+    from rslo_tpu.config.schema import PipelineCfg
+    only = os.environ.get("RSLO_BENCH_MIDDLE")
+    sparse_engine = os.environ.get("RSLO_BENCH_ENGINE",
+                                   PipelineCfg().middle.engine)
+    rec = {}
+    if only in (None, "PillarMiddleCov"):
+        # the pillar middle has no sparse engine; pass the default
+        rec["pillar"] = bench_middle("PillarMiddleCov",
+                                     PipelineCfg().middle.engine)
+    if only in (None, "SparseMiddleCov"):
+        rec["sparse"] = bench_middle("SparseMiddleCov", sparse_engine)
+
+    headline = "pillar" if "pillar" in rec else "sparse"
+    fps = rec[headline]
+    line = {
         "metric": "two_frame_odometry_inference",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+        "middle": ("PillarMiddleCov" if headline == "pillar"
+                   else "SparseMiddleCov"),
+    }
+    if "sparse" in rec and headline == "pillar":
+        line["sparse_fps"] = round(rec["sparse"], 3)
+        line["sparse_engine"] = sparse_engine
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -52,9 +52,20 @@ class MiddleCfg:
     engine: str = "rulebook"
     # banded engine knobs: out-row block size and (subm, down, inverse)
     # window widths — must cover the measured per-block index spreads
-    # (overflow pairs keep correctness when they don't)
+    # (overflow pairs keep correctness when they don't).  Every window
+    # MUST be a multiple of 128: the fused Pallas kernel only engages
+    # for lane-aligned windows (band_conv._pick_impl), and a 448 subm
+    # window silently routed all subm convs through the XLA one-hot
+    # fallback in round 2.  384 covers the measured subm spread
+    # (<=315 rows + <=15 base alignment).
     band_block: int = 256
-    band_windows: Tuple[int, ...] = (448, 1280, 768)
+    band_windows: Tuple[int, ...] = (384, 1280, 768)
+    # per-level engine dispatch: rulebooks whose widest conv is below
+    # this stay on the XLA row-gather path (one-hot MXU gathers are
+    # overhead-dominated at narrow channels: 3.43 vs 1.41 ms/L0 conv at
+    # C=16 on v5e, BENCH_NOTES r2); wide levels use the fused band
+    # kernel.  0 = wrap every level (round-2 behavior).
+    band_min_channels: int = 64
     # static active-tile capacities for the tiled engine (L0, L1)
     tile_capacities: Tuple[int, ...] = (16384, 8192)
     # static tile shape (z, y, x), even dims; short-z fits the thin

@@ -85,24 +85,61 @@ def build_band_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
                         capacities, windows=(bc.SUBM_WINDOW,
                                              bc.DOWN_WINDOW,
                                              bc.INV_WINDOW),
-                        block: int = 256) -> FrameGeometry:
-    """Rulebook geometry with every ConvIndex wrapped into a banded
-    one-hot gather plan (ops/band_conv.py) — same FrameGeometry shape,
-    so the plan/provider machinery is shared with the rulebook engine."""
+                        block: int = 256,
+                        channels=None,
+                        min_channels: int = 0) -> FrameGeometry:
+    """Rulebook geometry with ConvIndexes wrapped into banded one-hot
+    gather plans (ops/band_conv.py) — same FrameGeometry shape, so the
+    plan/provider machinery is shared with the rulebook engine.
+
+    Per-level engine dispatch: the one-hot MXU formulation is overhead-
+    dominated at narrow channels (measured on v5e: 3.43 ms band vs
+    1.41 ms rulebook gather per L0 subm conv at C=16, but band wins at
+    C>=64 — BENCH_NOTES r2).  When ``channels`` (the middle net's
+    (c0, c1, c2, c3) plan) is given, rulebooks whose widest conv runs
+    below ``min_channels`` are left as raw ConvIndex so SpConv routes
+    them through the XLA row-gather path; the wide levels keep the
+    fused band kernel.  min_channels=0 wraps everything (r2 behavior).
+    """
     geo = build_geometry(coords, mask, sparse_shape, capacities)
     sw, dw, iw = windows
-    sub = tuple(bc.build_band_index(rb, geo.levels[i].capacity,
-                                    block=block, window=sw,
-                                    self_transpose=True)
+
+    if channels is None:
+        ch = (min_channels,) * 4  # no info -> wrap everything
+    else:
+        ch = tuple(channels)
+    # widest conv through each rulebook (encoder + cov decoder reuse):
+    sub_w = ch                                     # subm L_i: c_i -> c_i
+    down_w = tuple(max(ch[i], ch[min(i + 1, 3)]) for i in range(4))
+    inv_w = (max(ch[2], ch[1]), max(ch[1], ch[0]))
+
+    def wrap(rb, v_in, window, width, **kw):
+        if width < min_channels:
+            return rb  # narrow level: keep the XLA row-gather path
+        return bc.build_band_index(rb, v_in, block=block, window=window,
+                                   **kw)
+
+    sub = tuple(wrap(rb, geo.levels[i].capacity, sw, sub_w[i],
+                     self_transpose=True)
                 for i, rb in enumerate(geo.sub_rb))
-    down = tuple(bc.build_band_index(rb, geo.levels[i].capacity,
-                                     block=block, window=dw)
+    down = tuple(wrap(rb, geo.levels[i].capacity, dw, down_w[i])
                  for i, rb in enumerate(geo.down_rb))
-    inv = (bc.build_band_index(geo.inv_rb[0], geo.levels[2].capacity,
-                               block=block, window=iw),
-           bc.build_band_index(geo.inv_rb[1], geo.levels[1].capacity,
-                               block=block, window=iw))
+    inv = (wrap(geo.inv_rb[0], geo.levels[2].capacity, iw, inv_w[0]),
+           wrap(geo.inv_rb[1], geo.levels[1].capacity, iw, inv_w[1]))
     return FrameGeometry(geo.levels, sub, down, inv)
+
+
+def band_overflow_counts(geo: FrameGeometry):
+    """Per-plan (ov_count, ov_capacity) diagnostics for every banded
+    rulebook in the geometry — the deployment guard against the
+    documented-inexact overflow-saturation path (band_conv.py)."""
+    out = {}
+    for name, rbs in (("sub", geo.sub_rb), ("down", geo.down_rb),
+                      ("inv", geo.inv_rb)):
+        for i, rb in enumerate(rbs):
+            if isinstance(rb, bc.BandIndex) and rb.ov_count is not None:
+                out[f"{name}{i}"] = (rb.ov_count, rb.ov_capacity)
+    return out
 
 
 # ---- engine-dispatch op descriptors (consumed by SpConv) -----------------

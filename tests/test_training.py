@@ -67,3 +67,72 @@ def test_supervised_training_decreases_loss():
     # OneCycle lr peak, so single steps are noisy)
     assert np.mean(losses[-5:]) < np.mean(losses[:3]) - 0.5, losses[:5] + \
         losses[-5:]
+
+
+@pytest.mark.slow
+def test_selfsup_training_reduces_pose_error():
+    """Self-supervised training must REDUCE the diagnostic GT pose
+    errors (objective aux t_err_gt / q_err_deg) — the cheap CPU guard
+    against round 2's failure mode, where frame_t_err WORSENED over a
+    10k-step self-sup run while the loss kept falling (VERDICT r2 #6).
+    Uses the production two-phase schedule: identity-R warmup steps,
+    then the ICP pseudo-target phase."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_model import tiny_cfg
+    from rslo_tpu.models.net import OdomNet
+    from rslo_tpu.train.optim import build_optimizer
+    from rslo_tpu.train.state import TrainState
+    from rslo_tpu.train.step import make_train_step
+    from rslo_tpu.utils.synthetic import synth_sequence
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        middle=dataclasses.replace(cfg.middle, name="PillarMiddleCov"),
+        optimizer=dataclasses.replace(cfg.optimizer, lr_max=3e-3),
+        train=dataclasses.replace(cfg.train, steps=80))
+    net = OdomNet(cfg)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+
+    frames, gts = synth_sequence(seed=3, n_frames=2, n_points=4000)
+    scale = 6.0 / 60.0
+    pts = np.stack(frames)
+    pts[:, :, :2] *= scale
+    pts[:, :, 2] = np.clip(pts[:, :, 2] * 0.2, -0.79, 0.79)
+    gt = gts[:1].copy()
+    gt[:, :3] *= scale
+    raw = {
+        "points": jnp.asarray(pts),
+        "point_mask": jnp.ones((2, pts.shape[1]), bool),
+        "odometry": jnp.asarray(gt),
+    }
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (2,) + x.shape), raw)
+    batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+
+    from rslo_tpu.data.prepare import prepare_example, voxelizer_config
+    ex = prepare_example(raw["points"], raw["point_mask"],
+                         voxelizer_config(cfg))
+    ex["odometry"] = raw["odometry"]
+    variables = net.init(jax.random.PRNGKey(0), ex, train=False)
+    tx = build_optimizer(cfg.optimizer, cfg.train)
+    state = TrainState.create(variables, tx, {"rot": 0.0, "trans": 0.0})
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    wstep = make_train_step(net, tx, cfg, mesh, warmup=True,
+                            self_supervised=True)
+    step = make_train_step(net, tx, cfg, mesh, warmup=False,
+                           self_supervised=True)
+    terrs, qerrs = [], []
+    for i in range(60):
+        state, m = (wstep if i < 15 else step)(state, batch)
+        terrs.append(float(m["t_err_gt"]))
+        qerrs.append(float(m["q_err_deg"]))
+    assert np.isfinite(terrs).all() and np.isfinite(qerrs).all()
+    # GT is never trained on in self-sup mode: these are honest held-out
+    # diagnostics.  Probed trajectory (fixed seeds, deterministic CPU):
+    # t 0.87 -> 0.42 m, q 116 -> 44 deg.
+    assert np.mean(terrs[-5:]) < 0.6 * np.mean(terrs[:3]), (
+        terrs[:3], terrs[-5:])
+    assert np.mean(qerrs[-5:]) < 0.5 * np.mean(qerrs[:3]), (
+        qerrs[:3], qerrs[-5:])
