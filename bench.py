@@ -95,6 +95,79 @@ def bench_middle(middle: str, engine: str, n_iter: int = 16) -> float:
     return 1.0 / dt  # one new frame per step in odometry streaming
 
 
+def bench_streaming(middle: str, engine: str, T: int = 8,
+                    n_iter: int = 4, cfg=None) -> float:
+    """Deployment-shaped streaming throughput: each frame is voxelized
+    and encoded ONCE and paired with the cached previous-frame BEV
+    (eval/streaming.py semantics), chained over T frames inside one
+    jitted lax.scan so the serial frame dependency is measured as pure
+    device compute (the per-frame host fetch in a real deployment is a
+    few floats; through the axon tunnel it would cost a misleading
+    ~30 ms RTT per frame)."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+    from rslo_tpu.config.schema import PipelineCfg
+    from rslo_tpu.data.prepare import (prepare_example, voxelizer_config,
+                                       mean_vfe_ok)
+    from rslo_tpu.models.net import OdomNet
+    from rslo_tpu.utils.synthetic import synth_sequence
+
+    cfg = cfg or PipelineCfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, seq_length=2),
+        middle=dataclasses.replace(cfg.middle, name=middle,
+                                   engine=engine))
+    net = OdomNet(cfg)
+    vcfg = voxelizer_config(cfg)
+    mean_mode = mean_vfe_ok(cfg)
+
+    frames, _ = synth_sequence(seed=0, n_frames=T + 1,
+                               n_points=cfg.data.max_points)
+    pts = jnp.asarray(np.stack(frames))            # (T+1, N, 7)
+    mask = jnp.ones(pts.shape[:2], bool)
+
+    def features(variables, p, m):
+        ex = prepare_example(p[None], m[None], vcfg, mean_mode=mean_mode)
+        f = ex.get("voxel_features")
+        if f is None:  # non-mean VFE config (streaming.py fallback)
+            from rslo_tpu.models.vfe import simple_voxel_xyzi_normal
+            f = simple_voxel_xyzi_normal(
+                ex["voxels"][0], ex["num_points"][0],
+                cfg.vfe.num_input_features)[None]
+        return net.apply(variables, f[0], ex["coords"][0],
+                         ex["voxel_mask"][0], False,
+                         method=net.frame_features)[0]
+
+    @jax.jit
+    def stream(variables, pts, mask):
+        bev0 = features(variables, pts[0], mask[0])
+
+        def step(bev_prev, pm):
+            p, m = pm
+            bev = features(variables, p, m)
+            preds = net.apply(variables, bev_prev, bev, False,
+                              method=net.pair_predict)
+            return bev, preds["odometry"][0]
+
+        _, odom = jax.lax.scan(step, bev0, (pts[1:], mask[1:]))
+        return odom.sum()                       # one scalar to fetch
+
+    ex0 = jax.jit(lambda p, m: prepare_example(p, m, vcfg))(
+        pts[:2], mask[:2])
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), ex0, train=False)
+    t0 = time.time()
+    np.asarray(stream(variables, pts, mask))
+    print(f"# [stream {middle}] compile: {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    for _ in range(n_iter):
+        np.asarray(stream(variables, pts, mask))
+    dt = (time.time() - t0) / (n_iter * T)
+    return 1.0 / dt
+
+
 def main():
     from rslo_tpu.config.schema import PipelineCfg
     only = os.environ.get("RSLO_BENCH_MIDDLE")
@@ -121,6 +194,10 @@ def main():
     if "sparse" in rec and headline == "pillar":
         line["sparse_fps"] = round(rec["sparse"], 3)
         line["sparse_engine"] = sparse_engine
+    if os.environ.get("RSLO_BENCH_STREAMING"):
+        line["streaming_fps"] = round(
+            bench_streaming("PillarMiddleCov",
+                            PipelineCfg().middle.engine), 3)
     print(json.dumps(line))
 
 

@@ -179,6 +179,12 @@ class TrainCfg:
     steps_per_eval: int = 4000
     display_step: int = 50
     checkpoint_max_keep: int = 8
+    # periodic save cadence DECOUPLED from eval: a leg killed by an
+    # external timeout must lose at most this many steps (round-3
+    # incident: 900 s leg timeouts always fired before the first
+    # steps_per_eval=2250 save, so every leg restarted from step 1).
+    # None = save only at steps_per_eval and on exit (old behavior).
+    checkpoint_interval: Optional[int] = 250
     seed: int = 0
     loss_scale: Optional[float] = None
 

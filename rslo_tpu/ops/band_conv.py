@@ -248,7 +248,7 @@ def _windowed_pallas_conv(f_pad, w, base, sel, W: int, cdt):
         grid=(nB,),
         in_specs=[
             pl.BlockSpec((1, K, B), lambda b, base_ref: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, B, Cout), lambda b, base_ref: (b, 0, 0)),
@@ -301,7 +301,7 @@ def _windowed_pallas_gather(f_pad, base, sel, W: int, cdt):
         grid=(nB,),
         in_specs=[
             pl.BlockSpec((1, K, B), lambda b, base_ref: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, B, K * Cin),
                                lambda b, base_ref: (b, 0, 0)),

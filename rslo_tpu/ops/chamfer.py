@@ -101,15 +101,25 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
     Grid is (src tiles, tgt tiles); the output block for a src tile is
     revisited across the tgt axis, carrying the running min/argmin.
     Shapes must be multiples of the tile sizes (pad upstream).
-    """
+
+    Layout/compute choices (pallas_guide): distances are pure VPU
+    broadcast work — src coords come in rows-major ((TN, 1) columns
+    across sublanes), tgt coords TRANSPOSED once outside the kernel to
+    (3, M) so each coordinate is a (1, TT) lane row; per coordinate a
+    broadcast-subtract-square-accumulate builds (TN, TT) without any
+    in-kernel transpose or K=3 MXU matmul (the previous formulation's
+    (TN,3) x (3,TT) dot ran the systolic array at 3/128 utilization and
+    paid a VMEM relayout for t.T).  The per-tile argmin is a lane
+    min-reduce plus a first-match iota min-reduce (no argmin
+    primitive)."""
     from jax.experimental import pallas as pl
 
     N, M = src.shape[0], tgt.shape[0]
     assert N % src_tile == 0 and M % tgt_tile == 0, (N, M)
     src = jax.lax.stop_gradient(src.astype(jnp.float32))
-    tgt = jax.lax.stop_gradient(tgt.astype(jnp.float32))
+    tgtT = jax.lax.stop_gradient(tgt.astype(jnp.float32)).T  # (3, M)
 
-    def kernel(s_ref, sm_ref, t_ref, tm_ref, d_ref, i_ref):
+    def kernel(s_ref, sm_ref, tT_ref, tm_ref, d_ref, i_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -117,14 +127,14 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
             d_ref[:] = jnp.full_like(d_ref, BIG)
             i_ref[:] = jnp.zeros_like(i_ref)
 
-        s = s_ref[:]                       # (TN, 3)
-        t = t_ref[:]                       # (TT, 3)
-        cross = jnp.dot(s, t.T, preferred_element_type=jnp.float32)
-        d = (jnp.sum(s * s, -1, keepdims=True) - 2.0 * cross
-             + jnp.sum(t * t, -1)[None, :])
+        dx = s_ref[:, 0][:, None] - tT_ref[0, :][None, :]   # (TN, TT)
+        dy = s_ref[:, 1][:, None] - tT_ref[1, :][None, :]
+        dz = s_ref[:, 2][:, None] - tT_ref[2, :][None, :]
+        d = dx * dx + dy * dy + dz * dz
         d = jnp.where(tm_ref[:][None, :] > 0, d, BIG)
-        ti = jnp.argmin(d, axis=-1).astype(jnp.int32)
-        td = jnp.min(d, axis=-1)
+        td = jnp.min(d, axis=-1)                            # (TN,)
+        jidx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        ti = jnp.min(jnp.where(d <= td[:, None], jidx, M), axis=-1)
         upd = td < d_ref[:]
         base = j * tgt_tile
         i_ref[:] = jnp.where(upd, base + ti, i_ref[:])
@@ -137,7 +147,7 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
         in_specs=[
             pl.BlockSpec((src_tile, 3), lambda i, j: (i, 0)),
             pl.BlockSpec((src_tile,), lambda i, j: (i,)),
-            pl.BlockSpec((tgt_tile, 3), lambda i, j: (j, 0)),
+            pl.BlockSpec((3, tgt_tile), lambda i, j: (0, j)),
             pl.BlockSpec((tgt_tile,), lambda i, j: (j,)),
         ],
         out_specs=[
@@ -149,7 +159,7 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
             jax.ShapeDtypeStruct((N,), jnp.int32),
         ],
         interpret=interpret,
-    )(src, src_mask.astype(jnp.int32), tgt, tgt_mask.astype(jnp.int32))
+    )(src, src_mask.astype(jnp.int32), tgtT, tgt_mask.astype(jnp.int32))
     dist = jnp.where(src_mask, dist, BIG)
     idx = jnp.where(src_mask, idx, 0)
     return jnp.maximum(dist, 0.0), idx

@@ -260,29 +260,74 @@ def voxelize_sorted_mean(points: jax.Array, point_mask: jax.Array,
                          config: VoxelizerConfig) -> MeanVoxels:
     """Argsort-based voxelization emitting per-voxel MEAN features.
 
-    Skips the (V, P, F) point-list scatter and its VFE re-gather: one
-    (V, F) scatter-add over the sorted stream.  Semantics are identical
-    to ``voxelize`` followed by a mean-style VFE — the same per-voxel
-    ``max_points`` cap applies (only the first P points of each voxel,
-    in stable-sorted order, contribute to the mean), so the deployed
-    SimpleVoxel_XYZINormalC pipeline (reference
-    rslo/models/voxel_encoder.py:258-280) produces bit-equal features
-    from either path."""
+    Semantics are identical to ``voxelize`` followed by a mean-style
+    VFE — the same per-voxel ``max_points`` cap applies (only the first
+    P points of each voxel, in stable-sorted order, contribute to the
+    mean), so the deployed SimpleVoxel_XYZINormalC pipeline (reference
+    rslo/models/voxel_encoder.py:258-280) produces matching features
+    from either path.
+
+    Memory-lean formulation (the voxelizer is latency-bound, ~40% of
+    the r2 inference pipeline): the sort carries (vid, iota) in ONE
+    ``lax.sort`` (no vid[order] re-gather); the sorted order is only
+    used to derive each point's slot/cap, which is routed back to the
+    ORIGINAL rows with one int32 scatter — the (N, F) feature rows are
+    then scatter-added UNSORTED (scatter-add is order-independent, and
+    the stable sort preserves original within-voxel order anyway) with
+    a fused ones-column producing the counts, skipping the (N, F) row
+    gather, the (N, 3) coords row scatter, and the separate counts
+    scatter of the previous formulation.  Coords decode arithmetically
+    from a scatter-min of the linear ids."""
     N = points.shape[0]
-    V = config.max_voxels
+    V, P = config.max_voxels, config.max_points
     F = points.shape[1]
-    order, slot, _rnk, keep, head, voxel_slot, czyx = _sort_and_slot(
-        points, point_mask, config)
+    pr = jnp.asarray(config.point_cloud_range, points.dtype)
+    vs = jnp.asarray(config.voxel_size, points.dtype)
+    nx, ny, nz = (int(g) for g in config.grid_size)
 
-    feat = jnp.where(keep[:, None], points[order], 0.0)
-    fsum = jnp.zeros((V + 1, F), points.dtype).at[slot].add(feat)[:V]
-    num_points = jnp.zeros((V + 1,), jnp.int32).at[slot].add(
-        keep.astype(jnp.int32))[:V]
-    mean = fsum / jnp.maximum(num_points, 1)[:, None].astype(points.dtype)
+    xyz = points[:, :3]
+    cxyz = jnp.floor((xyz - pr[:3]) / vs).astype(jnp.int32)
+    valid = jnp.all((cxyz >= 0) & (cxyz < jnp.array([nx, ny, nz])),
+                    axis=-1) & point_mask
+    vid = (cxyz[:, 2] * ny + cxyz[:, 1]) * nx + cxyz[:, 0]
+    sentinel = nx * ny * nz
+    vid = jnp.where(valid, vid, sentinel)
 
-    coords = jnp.full((V + 1, 3), -1, jnp.int32)
-    coords = coords.at[slot].set(jnp.where(keep[:, None], czyx, -1))[:V]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    svid, order = jax.lax.sort((vid, iota), is_stable=True, num_keys=1)
+    head = jnp.concatenate([jnp.array([True]),
+                            svid[1:] != svid[:-1]]) & (svid < sentinel)
+    voxel_slot = jnp.cumsum(head.astype(jnp.int32)) - 1
+    seg_start = jax.lax.cummax(jnp.where(head, iota, -1))
+    rank = iota - seg_start
+    keep_s = (svid < sentinel) & (voxel_slot < V) & (rank < P)
+    slot_s = jnp.where(keep_s, voxel_slot, V)          # V = drop bin
+
+    # route each SORTED row's slot back to its original row (int32)
+    pslot = jnp.zeros((N,), jnp.int32).at[order].set(slot_s)
+    keep = pslot < V
+
+    # one fused (N, F+1) scatter-add: feature sums + counts together
+    feat_ext = jnp.concatenate(
+        [points, jnp.ones((N, 1), points.dtype)], axis=1)
+    fsum_ext = jnp.zeros((V + 1, F + 1), points.dtype).at[pslot].add(
+        jnp.where(keep[:, None], feat_ext, 0.0))[:V]
+    num_points = fsum_ext[:, F].astype(jnp.int32)
+    mean = fsum_ext[:, :F] / jnp.maximum(
+        num_points, 1)[:, None].astype(points.dtype)
+
+    # coords: scatter-min of linear ids (all kept points in a slot
+    # share one id), decoded arithmetically — no (N, 3) row scatter
+    ids_arr = jnp.full((V + 1,), sentinel, jnp.int32).at[pslot].min(
+        jnp.where(keep, vid, sentinel))[:V]
+    mask_v = num_points > 0
+    zz = ids_arr // (ny * nx)
+    yy = (ids_arr // nx) % ny
+    xx = ids_arr % nx
+    coords = jnp.where(mask_v[:, None],
+                       jnp.stack([zz, yy, xx], -1), -1).astype(jnp.int32)
+    mean = jnp.where(mask_v[:, None], mean, 0.0)
+
     num_voxels = jnp.sum(head & (voxel_slot < V)).astype(jnp.int32)
-    pv_sorted = jnp.where(keep, slot, -1)
-    point_voxel = jnp.zeros((N,), jnp.int32).at[order].set(pv_sorted)
+    point_voxel = jnp.where(keep, pslot, -1).astype(jnp.int32)
     return MeanVoxels(mean, coords, num_points, num_voxels, point_voxel)

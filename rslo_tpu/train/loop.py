@@ -142,5 +142,9 @@ class Trainer:
                 self.ckpt.save(step_i, jax.device_get(state))
                 if eval_hook is not None:
                     eval_hook(self, state, step_i)
+            elif (cfg.checkpoint_interval and
+                  step_i % cfg.checkpoint_interval == 0):
+                # timeout-kill insurance: bounded-loss periodic save
+                self.ckpt.save(step_i, jax.device_get(state))
         self.ckpt.save(int(state.step), jax.device_get(state), force=True)
         return state

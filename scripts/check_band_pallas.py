@@ -99,20 +99,26 @@ def main():
             return jax.lax.fori_loop(0, reps, body, f0).sum()
         return jax.jit(run)
 
-    pal = chain(lambda x: bc.band_conv_apply(
-        x, geo_bd.sub_rb[0], w, None, geo_rb.levels[0].mask,
-        impl="pallas"))
-    xla = chain(lambda x: sc.sparse_conv_apply(
-        x.astype(jnp.bfloat16), geo_rb.sub_rb[0],
-        w.astype(jnp.bfloat16), None, geo_rb.levels[0].mask))
-
-    for name, fn in [("band-pallas", pal), ("rulebook-gather", xla)]:
-        np.asarray(fn(f))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(fn(f))
-        dt = (time.perf_counter() - t0) / reps * 1e3
-        print(f"{name:18s} {dt:7.3f} ms / L0 subm conv (C={C})",
-              flush=True)
+    # channel sweep: picks band_min_channels (per-level dispatch) from
+    # data — at which width does the fused kernel overtake row gathers?
+    for Cs in (16, 32, 64, 128):
+        fs = jnp.asarray(rng.normal(size=(v0, Cs)).astype(np.float32))
+        fs = jnp.where(geo_rb.levels[0].mask[:, None], fs, 0.0)
+        ws = jnp.asarray(
+            rng.normal(size=(27, Cs, Cs)).astype(np.float32) * 0.1)
+        pal = chain(lambda x, ws=ws: bc.band_conv_apply(
+            x, geo_bd.sub_rb[0], ws, None, geo_rb.levels[0].mask,
+            impl="pallas"))
+        xla = chain(lambda x, ws=ws: sc.sparse_conv_apply(
+            x.astype(jnp.bfloat16), geo_rb.sub_rb[0],
+            ws.astype(jnp.bfloat16), None, geo_rb.levels[0].mask))
+        for name, fn in [("band-pallas", pal), ("rulebook-gather", xla)]:
+            np.asarray(fn(fs))  # compile + warm
+            t0 = time.perf_counter()
+            np.asarray(fn(fs))
+            dt = (time.perf_counter() - t0) / reps * 1e3
+            print(f"{name:18s} {dt:7.3f} ms / L0 subm conv (C={Cs})",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,9 @@ step 2400 /tmp/bench_sparse_r3b.log \
   env RSLO_BENCH_MIDDLE=SparseMiddleCov RSLO_BENCH_ENGINE=band \
   python -u bench.py
 
+step 1800 /tmp/vox_stages_r3b.log python -u scripts/profile_voxelize.py
+step 1800 /tmp/nn_r3b.log python -u scripts/profile_nn.py
+
 # --- 3: train-step breakdown ------------------------------------------
 step 2400 /tmp/train_breakdown_r3b.log \
   python -u scripts/profile_train_breakdown.py
@@ -57,7 +60,8 @@ step 2400 /tmp/eval_sparse_aug.log python -u scripts/accuracy_proxy.py \
 step 2400 /tmp/eval_sparse_aug_best.log python -u scripts/accuracy_proxy.py \
   eval --middle SparseMiddleCov --engine band --tag aug --ckpt_step best
 
-# --- 5: final dual-line bench + report --------------------------------
-step 2400 /tmp/bench_r3b_final.log python -u bench.py
+# --- 5: final dual-line bench (+streaming row) + report ---------------
+step 3000 /tmp/bench_r3b_final.log \
+  env RSLO_BENCH_STREAMING=1 python -u bench.py
 python scripts/accuracy_proxy.py report > /tmp/proxy_report_r3b.log 2>&1
 echo "$(date +%H:%M:%S) R3B QUEUE DONE" >> /tmp/tpu_r3b.log

@@ -360,3 +360,55 @@ def test_band_overflow_within_capacity_deployed_shapes():
         assert c <= cap // 2, (
             f"band plan {name}: {c} overflow pairs vs capacity {cap} — "
             f"window widths no longer cover the deployed geometry")
+
+
+def test_band_engine_train_step_finite():
+    """One full self-supervised train step with middle.engine='band'
+    (the matched-budget sparse training config) must produce finite
+    loss and gradients — insurance for the TPU training block."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_model import tiny_cfg
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from rslo_tpu.models.net import OdomNet
+    from rslo_tpu.train.optim import build_optimizer
+    from rslo_tpu.train.state import TrainState
+    from rslo_tpu.train.step import make_train_step
+    from rslo_tpu.utils.synthetic import synth_sequence
+    from rslo_tpu.data.prepare import prepare_example, voxelizer_config
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(middle=dataclasses.replace(
+        cfg.middle, name="SparseMiddleCov", engine="band", remat=False))
+    net = OdomNet(cfg)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+
+    frames, gts = synth_sequence(seed=1, n_frames=2, n_points=3000)
+    pts = np.stack(frames)
+    scale = 6.0 / 60.0
+    pts[:, :, :2] *= scale
+    pts[:, :, 2] = np.clip(pts[:, :, 2] * 0.2, -0.79, 0.79)
+    gt = gts[:1].copy()
+    gt[:, :3] *= scale
+    raw = {"points": jnp.asarray(pts),
+           "point_mask": jnp.ones((2, pts.shape[1]), bool),
+           "odometry": jnp.asarray(gt)}
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (2,) + x.shape), raw)
+    batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+
+    ex = prepare_example(raw["points"], raw["point_mask"],
+                         voxelizer_config(cfg))
+    ex["odometry"] = raw["odometry"]
+    variables = net.init(jax.random.PRNGKey(0), ex, train=False)
+    tx = build_optimizer(cfg.optimizer, cfg.train)
+    state = TrainState.create(variables, tx, {"rot": 0.0, "trans": 0.0})
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    step = make_train_step(net, tx, cfg, mesh, warmup=True,
+                           self_supervised=True)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"])), m
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -98,3 +98,32 @@ def test_best_checkpoint_nan_proof(tmp_path):
         tmp_path, 700, {"t_rel_pct": 90.0}) == ("t_rel_pct", 90.0)
     rec = json.loads((tmp_path / "best_ckpt.json").read_text())
     assert rec["step"] == 700 and rec["metric"] == 90.0
+
+
+def test_periodic_checkpoint_interval(tmp_path):
+    """train.checkpoint_interval bounds the loss from a timeout-killed
+    leg: saves must land every N steps even when steps_per_eval (and
+    the leg boundary) are never reached — the round-3 queue incident
+    where 900 s timeouts always fired before the first save."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_model import tiny_cfg
+    from rslo_tpu.cli import main as cli_main
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, seq_length=2,
+                                 max_points=4096, num_workers=0),
+        train=dataclasses.replace(cfg.train, steps=9, steps_per_eval=100,
+                                  checkpoint_interval=4, display_step=50))
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    mdir = tmp_path / "model"
+    cli_main(["train", "--config", str(cfg_path), "--model_dir",
+              str(mdir), "--synthetic", "--supervised", "--steps", "9"])
+
+    mgr = CheckpointManager(str(mdir / "ckpt"), max_to_keep=8)
+    steps = sorted(mgr.mgr.all_steps())
+    # periodic saves at 4 and 8, final save at 9
+    assert 4 in steps and 8 in steps and 9 in steps, steps

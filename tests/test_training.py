@@ -101,9 +101,15 @@ def test_selfsup_training_reduces_pose_error():
     pts[:, :, 2] = np.clip(pts[:, :, 2] * 0.2, -0.79, 0.79)
     gt = gts[:1].copy()
     gt[:, :3] *= scale
+    # forward-biased half-plane mask: the scaled scene is dominated by
+    # its rotation-symmetric ground disk, which gives ICP a second
+    # global minimum at 180 deg yaw (observed: q_err converging to
+    # ~179 deg while translation improved).  A forward-facing crop
+    # makes rotation identifiable.
+    pmask = pts[:, :, 0] > -1.0
     raw = {
         "points": jnp.asarray(pts),
-        "point_mask": jnp.ones((2, pts.shape[1]), bool),
+        "point_mask": jnp.asarray(pmask),
         "odometry": jnp.asarray(gt),
     }
     batch = jax.tree.map(
@@ -130,9 +136,11 @@ def test_selfsup_training_reduces_pose_error():
         qerrs.append(float(m["q_err_deg"]))
     assert np.isfinite(terrs).all() and np.isfinite(qerrs).all()
     # GT is never trained on in self-sup mode: these are honest held-out
-    # diagnostics.  Probed trajectory (fixed seeds, deterministic CPU):
-    # t 0.87 -> 0.42 m, q 116 -> 44 deg.
-    assert np.mean(terrs[-5:]) < 0.6 * np.mean(terrs[:3]), (
+    # diagnostics.  Probed (deterministic CPU): t 1.24 -> 0.009 m,
+    # q 121 -> 0.7 deg; 0.3x margins absorb last-ulp numeric shifts
+    # (e.g. scatter-add order) while still catching the round-2 failure
+    # mode of pose error not improving under self-supervision.
+    assert np.mean(terrs[-5:]) < 0.3 * np.mean(terrs[:3]), (
         terrs[:3], terrs[-5:])
-    assert np.mean(qerrs[-5:]) < 0.5 * np.mean(qerrs[:3]), (
+    assert np.mean(qerrs[-5:]) < 0.3 * np.mean(qerrs[:3]), (
         qerrs[:3], qerrs[-5:])
