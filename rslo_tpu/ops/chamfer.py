@@ -79,17 +79,19 @@ def nn_search(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
     return jnp.maximum(dist, 0.0), idx
 
 
-def nn_search_auto(src, src_mask, tgt, tgt_mask, tile: int = 1024):
-    """Pallas kernel on TPU when shapes tile-align (~1.4x the scan's
-    compute), XLA scan otherwise."""
+def nn_search_auto(src, src_mask, tgt, tgt_mask, src_tile: int = 512,
+                   tgt_tile: int = 1024):
+    """Pallas kernel on TPU when shapes tile-align, XLA scan otherwise.
+    Default tiles keep the (src_tile, tgt_tile) f32 distance block at
+    2 MB so the kernel's working set stays well inside VMEM."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    if (on_tpu and src.shape[0] % tile == 0 and
-            tgt.shape[0] % tile == 0):
+    if (on_tpu and src.shape[0] % src_tile == 0 and
+            tgt.shape[0] % tgt_tile == 0):
         return nn_search_pallas(src, src_mask, tgt, tgt_mask,
-                                src_tile=tile, tgt_tile=tile)
+                                src_tile=src_tile, tgt_tile=tgt_tile)
     return nn_search(src, src_mask, tgt, tgt_mask)
 
 

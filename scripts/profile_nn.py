@@ -56,8 +56,11 @@ def main():
 
     timeit_chain(f"scan   nn_search {N}x{N}",
                  lambda s: nn_search(s, sm, tgt, tm), src, reps)
-    timeit_chain(f"pallas nn_search {N}x{N}",
-                 lambda s: nn_search_pallas(s, sm, tgt, tm), src, reps)
+    for ts, tt in ((1024, 1024), (512, 1024), (256, 2048), (512, 2048)):
+        timeit_chain(f"pallas nn_search {N}x{N} tile=({ts},{tt})",
+                     lambda s, ts=ts, tt=tt: nn_search_pallas(
+                         s, sm, tgt, tm, src_tile=ts, tgt_tile=tt),
+                     src, reps)
 
 
 if __name__ == "__main__":
