@@ -76,6 +76,11 @@ class MiddleCfg:
     channels: Tuple[int, ...] = (16, 32, 64, 64)
     cov_channels: int = 7
     remat: bool = True               # rematerialize the middle in backward
+    # conv compute dtype for the sparse engines ("bf16" | "f32"): bf16
+    # halves the bytes of the bandwidth-bound row gathers and feeds the
+    # MXU at full rate (fp32 accumulation either way).  Precision tests
+    # pin "f32" to compare engines at float-accumulation order.
+    conv_dtype: str = "bf16"
 
 
 @dataclass(frozen=True)

@@ -184,18 +184,24 @@ class SpConv(nn.Module):
     through whichever engine the op descriptor selects."""
     features: int
     taps: int  # kernel volume
+    dtype: str = "bf16"   # conv compute dtype (fp32 accumulation)
 
     @nn.compact
     def __call__(self, feats, op, out_mask=None):
         cin = feats.shape[-1]
+        cdt = jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
         w = self.param("kernel", nn.initializers.he_normal(),
                        (self.taps, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         if isinstance(op, sc.ConvIndex):
-            return sc.sparse_conv_apply(feats, op, w, b, out_mask)
+            # bf16 by default like the band/pillar paths: the row gather
+            # is bandwidth-bound, so f32 rows cost 2x the bytes.
+            return sc.sparse_conv_apply(feats, op, w, b, out_mask,
+                                        compute_dtype=cdt)
         if isinstance(op, bc.BandIndex):
-            return bc.band_conv_apply(feats, op, w, b, out_mask)
+            return bc.band_conv_apply(feats, op, w, b, out_mask,
+                                      compute_dtype=cdt)
         if isinstance(op, SubmOp):
             return tc.subm_conv(feats, op.lvl, w, b)
         if isinstance(op, DownOp):
@@ -283,11 +289,15 @@ class SparseMiddleCov(nn.Module):
     def _run(self, voxel_features, plan, train):
         c0, c1, c2, c3 = self.cfg.channels
         relu = nn.relu
+        cdt = self.cfg.conv_dtype
+
+        def conv(feats, taps):
+            return SpConv(feats, taps, cdt)
 
         def block(x, lvl_i, feats, n_layers, train):
             for _ in range(n_layers):
-                x = SpConv(feats, 27)(x, plan.subm(lvl_i),
-                                      plan.mask(lvl_i))
+                x = conv(feats, 27)(x, plan.subm(lvl_i),
+                                    plan.mask(lvl_i))
                 x = self._norm(x, plan.mask(lvl_i), train)
                 x = relu(x)
             return x
@@ -295,19 +305,19 @@ class SparseMiddleCov(nn.Module):
         x = plan.inject(voxel_features)
         # encoder (middle_conv): L0 subm x2 -> down -> L1 subm x2 -> down
         x = block(x, 0, c0, 2, train)
-        x = SpConv(c1, 27)(x, plan.down(0), plan.mask(1))
+        x = conv(c1, 27)(x, plan.down(0), plan.mask(1))
         x = relu(self._norm(x, plan.mask(1), train))
         x = block(x, 1, c1, 2, train)
-        x = SpConv(c2, 27)(x, plan.down(1), plan.mask(2))
+        x = conv(c2, 27)(x, plan.down(1), plan.mask(2))
         x = relu(self._norm(x, plan.mask(2), train))
         x_mid = x  # L2 features feed the covariance decoder
 
         # tail: L2 subm x3 -> down -> L3 subm x3 -> z-collapse to L4
         x = block(x, 2, c2, 3, train)
-        x = SpConv(c3, 27)(x, plan.down(2), plan.mask(3))
+        x = conv(c3, 27)(x, plan.down(2), plan.mask(3))
         x = relu(self._norm(x, plan.mask(3), train))
         x = block(x, 3, c3, 3, train)
-        x = SpConv(c3, 3)(x, plan.down(3), plan.mask(4))
+        x = conv(c3, 3)(x, plan.down(3), plan.mask(4))
         x = relu(self._norm(x, plan.mask(4), train))
 
         bev = plan.to_bev(x)
@@ -315,18 +325,18 @@ class SparseMiddleCov(nn.Module):
         # covariance decoder: inverse convs back to full res (always BN,
         # mirroring the reference's plain BatchNorm1d in the decoder)
         bn = lambda: MaskedBatchNorm(sync=False)
-        y = SpConv(c1, 27)(x_mid, plan.inv(0), plan.mask(1))
+        y = conv(c1, 27)(x_mid, plan.inv(0), plan.mask(1))
         y = relu(self._bn_apply(bn(), y, plan, 1, train))
-        y = SpConv(c1, 27)(y, plan.subm(1), plan.mask(1))
+        y = conv(c1, 27)(y, plan.subm(1), plan.mask(1))
         y = relu(self._bn_apply(bn(), y, plan, 1, train))
-        y = SpConv(c0, 27)(y, plan.inv(1), plan.mask(0))
+        y = conv(c0, 27)(y, plan.inv(1), plan.mask(0))
         y = relu(self._bn_apply(bn(), y, plan, 0, train))
-        y = SpConv(c0, 27)(y, plan.subm(0), plan.mask(0))
+        y = conv(c0, 27)(y, plan.subm(0), plan.mask(0))
         y = relu(self._bn_apply(bn(), y, plan, 0, train))
-        y = SpConv(c0, 27)(y, plan.subm(0), plan.mask(0))
+        y = conv(c0, 27)(y, plan.subm(0), plan.mask(0))
         y = relu(self._bn_apply(bn(), y, plan, 0, train))
-        cov = SpConv(self.cfg.cov_channels, 27)(y, plan.subm(0),
-                                                plan.mask(0))
+        cov = conv(self.cfg.cov_channels, 27)(y, plan.subm(0),
+                                              plan.mask(0))
         cov = plan.extract_rows(cov)
         cov = jnp.concatenate(
             [nn.elu(cov[:, :3]) + 1 + 1e-6, cov[:, 3:]], axis=-1)

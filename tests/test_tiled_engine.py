@@ -40,7 +40,8 @@ def _run_both(bn_type: str, train: bool, seed=0):
     coords, mask, feats = _random_frame(rng)
     cfg = MiddleCfg(bn_type=bn_type, channels=(8, 8, 16, 16),
                     level_capacities=CAPS, tile_capacities=TCAPS,
-                    remat=False)
+                    remat=False, conv_dtype="f32")  # float-accum order
+                    # comparison: the tiled engine computes in f32
     net = SparseMiddleCov(cfg)
     geo_rb = build_geometry(coords, mask, GRID, CAPS)
     geo_tl = build_tiled_geometry(coords, mask, GRID, TCAPS)
