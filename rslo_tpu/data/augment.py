@@ -42,6 +42,17 @@ def random_flip_y(sample: dict, rng: np.random.Generator) -> dict:
     odom = sample["odometry"]
     for k in range(len(odom)):
         odom[k] = flip_odometry(odom[k])
+    # Mirror the absolute window poses too (T' = F T F conjugation, the
+    # same map flip_odometry applies to relative poses).  pose_interp_aug
+    # recomputes odometry AND the point warps from pose_seq, so leaving
+    # it unflipped made every flipped+interpolated sample's rotation
+    # targets/warps mirror-inconsistent with its clouds (yaw sign
+    # noise ~ the yaw signal itself — the round-3 rotation collapse).
+    if "pose_seq" in sample:
+        ps = sample["pose_seq"]
+        sample["pose_seq"] = np.stack(
+            [flip_odometry(ps[i]) for i in range(len(ps))]).astype(
+                np.float32)
     return sample
 
 

@@ -59,8 +59,13 @@ def nn_search(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
     def body(carry, inp):
         best_d, best_i = carry
         t, m, base = inp
-        # (N, T) squared distances via the MXU cross term.
-        cross = jnp.dot(src, t.T, preferred_element_type=jnp.float32)
+        # (N, T) squared distances via the MXU cross term.  precision
+        # HIGHEST is load-bearing: the TPU default runs bf16 passes,
+        # which at |x|~30 m coordinates injects O(10) m^2 distance
+        # error and corrupts ~10-30% of the associations (measured on
+        # v5e vs the exact-fp32 Pallas kernel / numpy argmin).
+        cross = jnp.dot(src, t.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         d = src_sq[:, None] - 2.0 * cross + jnp.sum(t * t, axis=-1)[None, :]
         d = jnp.where(m[None, :], d, BIG)
         ti = jnp.argmin(d, axis=-1)
@@ -79,11 +84,17 @@ def nn_search(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
     return jnp.maximum(dist, 0.0), idx
 
 
-def nn_search_auto(src, src_mask, tgt, tgt_mask, src_tile: int = 512,
-                   tgt_tile: int = 1024):
+def nn_search_auto(src, src_mask, tgt, tgt_mask, src_tile: int = 1024,
+                   tgt_tile: int = 512):
     """Pallas kernel on TPU when shapes tile-align, XLA scan otherwise.
     Default tiles keep the (src_tile, tgt_tile) f32 distance block at
-    2 MB so the kernel's working set stays well inside VMEM."""
+    2 MB so the kernel's working set stays well inside VMEM.
+
+    src_tile must stay a multiple of 1024: it is the block size of the
+    kernel's 1-D outputs, and XLA lays 1-D f32/s32 buffers out as
+    T(1024) — Mosaic rejects sub-1024 blocks with a layout mismatch
+    (measured on v5e; the sweep harness hit it at 512).  tgt_tile is
+    free in multiples of 128 (the tgt operand is 2-D)."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
@@ -97,7 +108,7 @@ def nn_search_auto(src, src_mask, tgt, tgt_mask, src_tile: int = 512,
 
 def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
                      tgt_mask: jax.Array, *, src_tile: int = 1024,
-                     tgt_tile: int = 1024, interpret: bool = False):
+                     tgt_tile: int = 512, interpret: bool = False):
     """Pallas TPU version of :func:`nn_search` (same contract).
 
     Grid is (src tiles, tgt tiles); the output block for a src tile is
@@ -107,21 +118,27 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
     Layout/compute choices (pallas_guide): distances are pure VPU
     broadcast work — src coords come in rows-major ((TN, 1) columns
     across sublanes), tgt coords TRANSPOSED once outside the kernel to
-    (3, M) so each coordinate is a (1, TT) lane row; per coordinate a
-    broadcast-subtract-square-accumulate builds (TN, TT) without any
-    in-kernel transpose or K=3 MXU matmul (the previous formulation's
-    (TN,3) x (3,TT) dot ran the systolic array at 3/128 utilization and
-    paid a VMEM relayout for t.T).  The per-tile argmin is a lane
-    min-reduce plus a first-match iota min-reduce (no argmin
+    a (4, M) matrix whose rows are (x, y, z, mask-penalty): per
+    coordinate a broadcast-subtract-square-accumulate builds (TN, TT)
+    without any in-kernel transpose or K=3 MXU matmul, and adding the
+    penalty row (0 valid / BIG invalid) reproduces the masked-distance
+    semantics with NO integer mask operands — 1-D s32 *inputs* trip
+    Mosaic's XLA-layout rule (input layout T(1024) vs Mosaic T(512))
+    at sub-1024 tile sizes; Mosaic-owned 1-D outputs are fine.
+    src_mask is only applied outside the kernel.  The per-tile argmin
+    is a lane min-reduce plus a first-match iota min-reduce (no argmin
     primitive)."""
     from jax.experimental import pallas as pl
 
     N, M = src.shape[0], tgt.shape[0]
     assert N % src_tile == 0 and M % tgt_tile == 0, (N, M)
     src = jax.lax.stop_gradient(src.astype(jnp.float32))
-    tgtT = jax.lax.stop_gradient(tgt.astype(jnp.float32)).T  # (3, M)
+    tgtT = jnp.concatenate(
+        [jax.lax.stop_gradient(tgt.astype(jnp.float32)).T,
+         jnp.where(tgt_mask, 0.0, BIG).astype(jnp.float32)[None, :]],
+        axis=0)                                             # (4, M)
 
-    def kernel(s_ref, sm_ref, tT_ref, tm_ref, d_ref, i_ref):
+    def kernel(s_ref, tT_ref, d_ref, i_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -132,8 +149,7 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
         dx = s_ref[:, 0][:, None] - tT_ref[0, :][None, :]   # (TN, TT)
         dy = s_ref[:, 1][:, None] - tT_ref[1, :][None, :]
         dz = s_ref[:, 2][:, None] - tT_ref[2, :][None, :]
-        d = dx * dx + dy * dy + dz * dz
-        d = jnp.where(tm_ref[:][None, :] > 0, d, BIG)
+        d = dx * dx + dy * dy + dz * dz + tT_ref[3, :][None, :]
         td = jnp.min(d, axis=-1)                            # (TN,)
         jidx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
         ti = jnp.min(jnp.where(d <= td[:, None], jidx, M), axis=-1)
@@ -148,9 +164,7 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
         grid=grid,
         in_specs=[
             pl.BlockSpec((src_tile, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((src_tile,), lambda i, j: (i,)),
-            pl.BlockSpec((3, tgt_tile), lambda i, j: (0, j)),
-            pl.BlockSpec((tgt_tile,), lambda i, j: (j,)),
+            pl.BlockSpec((4, tgt_tile), lambda i, j: (0, j)),
         ],
         out_specs=[
             pl.BlockSpec((src_tile,), lambda i, j: (i,)),
@@ -161,7 +175,7 @@ def nn_search_pallas(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
             jax.ShapeDtypeStruct((N,), jnp.int32),
         ],
         interpret=interpret,
-    )(src, src_mask.astype(jnp.int32), tgtT, tgt_mask.astype(jnp.int32))
+    )(src, tgtT)
     dist = jnp.where(src_mask, dist, BIG)
     idx = jnp.where(src_mask, idx, 0)
     return jnp.maximum(dist, 0.0), idx

@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from accuracy_proxy import base_cfg, _model_dir  # noqa: E402
 
 
-def main(middle: str, n: int, supervised: bool = False):
+def main(middle: str, n: int, supervised: bool = False, tag: str = ""):
     from jax.sharding import Mesh
     from rslo_tpu.data.dataset import KittiWindowDataset
     from rslo_tpu.data.loader import collate
@@ -39,7 +39,7 @@ def main(middle: str, n: int, supervised: bool = False):
     vcfg = voxelizer_config(cfg)
     ds = KittiWindowDataset(cfg.data, "val", seq_length=2)
     mean_mode = mean_vfe_ok(cfg)
-    mdir = _model_dir(middle, supervised)
+    mdir = _model_dir(middle, supervised, tag)
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
     trainer = Trainer(cfg, mdir, mesh)
     net = trainer.net
@@ -83,10 +83,24 @@ def main(middle: str, n: int, supervised: bool = False):
     err_neg = np.linalg.norm(-tp - tg, axis=1)
     print(f"mean |t_pred - t_gt| {err.mean():.3f}  "
           f"inverted {err_neg.mean():.3f}")
+    # rotation: signed yaw per frame (the val loop turns at a constant
+    # rate, so a yaw ratio << 1 means "predicts straight" — the round-3
+    # rotation-collapse signature)
+    def yaw(q):
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        return np.degrees(np.arctan2(2 * (w * z + x * y),
+                                     1 - 2 * (y * y + z * z)))
+    yp, yg = yaw(P[:, 3:] * np.sign(P[:, 3:4])), yaw(G[:, 3:])
+    print(f"yaw/frame deg: pred mean {yp.mean():+.3f} std {yp.std():.3f}"
+          f" | gt mean {yg.mean():+.3f} std {yg.std():.3f}"
+          f" | corr {np.corrcoef(yp, yg)[0, 1]:.3f}"
+          f" | ratio {yp.mean() / (yg.mean() + 1e-9):+.3f}")
 
 
 if __name__ == "__main__":
     middle = sys.argv[1] if len(sys.argv) > 1 else "PillarMiddleCov"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     sup = "--supervised" in sys.argv
-    main(middle, n, sup)
+    tag = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--tag=")), "")
+    main(middle, n, sup, tag)

@@ -194,6 +194,53 @@ def test_pose_interp_aug_consistency(rng):
         del mapped_n
 
 
+def test_flip_then_pose_interp_consistency(rng):
+    """Round-3 rotation-collapse regression: random_flip_y mutates the
+    points and pair odometry, and pose_interp_aug then recomputes BOTH
+    the odometry and the point warps from ``pose_seq`` — so the flip
+    must mirror pose_seq too, or every flipped+interpolated sample gets
+    mirror-inconsistent (yaw-sign-noised) rotation targets."""
+    from rslo_tpu.data.augment import pose_interp_aug, random_flip_y
+    from rslo_tpu.data.dataset import generate_cyc_vo
+    from rslo_tpu.geometry.transforms import (np_invert_pose,
+                                              quat_to_matrix_np)
+
+    X = rng.normal(size=(256, 3)).astype(np.float32) * 5
+    L = 3
+    poses = np.zeros((L, 7), np.float32)
+    poses[:, 3] = 1.0
+    for i in range(1, L):
+        q = np.asarray(G.qexp(np.float32(rng.normal(size=3) * 0.05)))
+        poses[i] = np.concatenate(
+            [rng.normal(size=3).astype(np.float32) * 0.5, q])
+    pts = []
+    for i in range(L):
+        inv = np_invert_pose(poses[i:i + 1])[0]
+        R = quat_to_matrix_np(inv[3:])
+        local = X @ R.T + inv[:3]
+        nrm = rng.normal(size=(256, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        inten = rng.uniform(0, 1, size=(256, 1)).astype(np.float32)
+        pts.append(np.concatenate([local, inten, nrm],
+                                  axis=1).astype(np.float32))
+    sample = {"points": pts, "pose_seq": poses.copy(),
+              "odometry": generate_cyc_vo(poses)}
+
+    class AlwaysFlip:
+        def random(self):
+            return 1.0
+
+    out = random_flip_y(sample, AlwaysFlip())
+    out = pose_interp_aug(out, rng, ratio=0.4)
+    offsets = [(i, j) for i in range(L) for j in range(i + 1, L)]
+    for k, (i, j) in enumerate(offsets):
+        vo = out["odometry"][k]
+        R = quat_to_matrix_np(vo[3:])
+        mapped = out["points"][j][:, :3] @ R.T + vo[:3]
+        np.testing.assert_allclose(mapped, out["points"][i][:, :3],
+                                   atol=1e-4)
+
+
 def test_random_skip_sampling(mini_kitti):
     cfg = DataCfg(root=mini_kitti, seq_length=3, skip=2, random_skip=True,
                   train_sequences=(0,), val_sequences=(1,))
