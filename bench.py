@@ -48,10 +48,12 @@ def bench_middle(middle: str, engine: str, n_iter: int = 16) -> float:
     from rslo_tpu.utils.synthetic import synth_sequence
 
     cfg = PipelineCfg()  # full KITTI-scale defaults
+    mc = int(os.environ.get("RSLO_BAND_MIN_CHANNELS",
+                            cfg.middle.band_min_channels))
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, seq_length=2),
         middle=dataclasses.replace(cfg.middle, name=middle,
-                                   engine=engine))
+                                   engine=engine, band_min_channels=mc))
     net = OdomNet(cfg)
     vcfg = voxelizer_config(cfg)
 

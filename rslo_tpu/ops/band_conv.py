@@ -133,23 +133,37 @@ def build_band_index(rulebook: ConvIndex, v_in: int, block: int = 256,
     sel = jnp.where(in_win, delta, -1).astype(jnp.int32)
     sel = jnp.transpose(sel, (0, 2, 1))                       # (nB, K, B)
 
-    # overflow pairs: valid but outside the window
+    # Overflow pairs (valid but outside the window), compacted by rank.
+    # Formulated as cumsum + a 4096-query binary search instead of
+    # rank-scatter compaction: the previous three (Vp*K ~ 1.1M)-update
+    # scatters into a (cap+1,) array dominated the plan-build cost.
+    # searchsorted(cum, r+1) returns the flat index of the (r+1)-th set
+    # flag, and past ov_count it returns len(cum) == Vp*K, which decodes
+    # to the ov_out == Vp drop sentinel for free.  method='scan' is the
+    # binary search (cheap at 4096 queries; 'sort' would sort the 1.1M
+    # keys).
     ov_flag = (valid & ~in_win.reshape(Vp, K)).reshape(-1)
-    rank = jnp.cumsum(ov_flag.astype(jnp.int32)) - 1
-    slot = jnp.where(ov_flag & (rank < ov_capacity), rank, ov_capacity)
-    flat_out = jnp.tile(jnp.arange(Vp, dtype=jnp.int32)[:, None],
-                        (1, K)).reshape(-1)
-    flat_tap = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :],
-                        (Vp, 1)).reshape(-1)
-    ov_out = jnp.full((ov_capacity + 1,), Vp, jnp.int32).at[slot].set(
-        jnp.where(slot < ov_capacity, flat_out, Vp))[:ov_capacity]
-    ov_in = jnp.zeros((ov_capacity + 1,), jnp.int32).at[slot].set(
-        jnp.where(slot < ov_capacity, idx.reshape(-1), 0))[:ov_capacity]
-    ov_tap = jnp.zeros((ov_capacity + 1,), jnp.int32).at[slot].set(
-        jnp.where(slot < ov_capacity, flat_tap, 0))[:ov_capacity]
+    ov_count = jnp.sum(ov_flag).astype(jnp.int32)
+
+    def _extract(flag):
+        cum = jnp.cumsum(flag.astype(jnp.int32))
+        return jnp.searchsorted(
+            cum, jnp.arange(1, ov_capacity + 1, dtype=jnp.int32),
+            method="scan").astype(jnp.int32)
+
+    # at the deployed windows ov_count is 0 (asserted by the deployed-
+    # shape overflow test), so skip the extraction entirely then
+    packed = jax.lax.cond(
+        ov_count > 0, _extract,
+        lambda _: jnp.full((ov_capacity,), Vp * K, jnp.int32), ov_flag)
+    ov_out = packed // K
+    ov_tap = packed % K
+    ov_in = idx.reshape(-1)[jnp.minimum(packed, Vp * K - 1)]
+    ov_in = jnp.where(ov_out < Vp, ov_in, 0)
+    ov_tap = jnp.where(ov_out < Vp, ov_tap, 0)
     return BandIndex(base, sel, ov_out, ov_in, ov_tap, V, vp_in, Wd,
                      self_transpose,
-                     ov_count=jnp.sum(ov_flag).astype(jnp.int32))
+                     ov_count=ov_count)
 
 
 # ---------------------------------------------------------------------------

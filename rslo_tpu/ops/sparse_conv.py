@@ -191,15 +191,21 @@ def downsample_level(level: SparseLevel, kernel, stride, padding,
                 cand_valid.append(ok)
     ids = jnp.concatenate(cand_ids)
     sent = int(np.prod(out_shape))
+    n_all = ids.shape[0]
     ids = jnp.sort(ids)
-    # unique: keep first occurrence
+    # unique: keep first occurrence.  Compaction by cumsum + binary
+    # search instead of a rank scatter (same optimization as
+    # band_conv.build_band_index): searchsorted(cum, r+1) is the flat
+    # position of the (r+1)-th unique valid id; past the unique count
+    # it returns n_all, which maps to the sentinel.
     head = jnp.concatenate([jnp.array([True]), ids[1:] != ids[:-1]])
-    uniq_rank = jnp.cumsum(head.astype(jnp.int32)) - 1
-    slot = jnp.where(head & (ids < sent) & (uniq_rank < out_capacity),
-                     uniq_rank, out_capacity)
-    out_ids = jnp.full((out_capacity + 1,), sent, jnp.int32)
-    out_ids = out_ids.at[slot].set(jnp.where(slot < out_capacity, ids,
-                                             sent))[:out_capacity]
+    cum = jnp.cumsum((head & (ids < sent)).astype(jnp.int32))
+    pos = jnp.searchsorted(
+        cum, jnp.arange(1, out_capacity + 1, dtype=jnp.int32),
+        method="scan")
+    out_ids = jnp.where(pos < n_all,
+                        ids[jnp.minimum(pos, n_all - 1)],
+                        sent).astype(jnp.int32)
     nz, ny, nx = out_shape
     zz = out_ids // (ny * nx)
     yy = (out_ids // nx) % ny
