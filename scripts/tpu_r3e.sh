@@ -27,6 +27,8 @@ step 1800 /tmp/nn_r3e.log python -u scripts/profile_nn.py
 step 1800 /tmp/band_check_r3e.log python -u scripts/check_band_pallas.py
 # band stage split with the optimized plan build
 step 2400 /tmp/band_stages_r3e.log python -u scripts/profile_band_stages.py
+# block/window sweep (per-tap latency amortization)
+step 2400 /tmp/band_tiles_r3e.log python -u scripts/profile_band_tiles.py
 # sparse bench: band engine, dispatch variants
 step 2400 /tmp/bench_sparse_mc64.log \
   env RSLO_BENCH_MIDDLE=SparseMiddleCov RSLO_BENCH_ENGINE=band \
