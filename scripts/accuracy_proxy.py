@@ -104,8 +104,12 @@ def cmd_build(args):
                  **{f"seq{k}": v[0] for k, v in gt.items()})
     if args.seqs is None or args.h5_only:
         from rslo_tpu.cli import main
+        # --seqs + --h5_only builds a store restricted to those
+        # sequences (e.g. a val-only store in a fresh RSLO_PROXY_ROOT
+        # with a different --world_seed: the scene-generalization probe
+        # — score a trained checkpoint against unseen scene content)
         main(["create_hdf5", "--kitti_root", str(TREE), "--out", str(H5),
-              "--sequences", ",".join(str(s) for s in SEQS)])
+              "--sequences", ",".join(str(s) for s in seqs)])
         print("proxy store ready:", H5, flush=True)
 
 

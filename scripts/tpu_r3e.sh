@@ -36,4 +36,7 @@ step 2400 /tmp/bench_sparse_mc64.log \
 step 2400 /tmp/bench_sparse_mc0.log \
   env RSLO_BENCH_MIDDLE=SparseMiddleCov RSLO_BENCH_ENGINE=band \
   RSLO_BAND_MIN_CHANNELS=0 python -u bench.py
+# does the sparse train step fit without remat? (pillar: 592->489 ms)
+step 2400 /tmp/sparse_remat_probe.log \
+  python -u scripts/sparse_remat_probe.py
 echo "$(date +%H:%M:%S) R3E QUEUE DONE" >> /tmp/tpu_r3e.log
