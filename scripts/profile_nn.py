@@ -56,7 +56,10 @@ def main():
 
     timeit_chain(f"scan   nn_search {N}x{N}",
                  lambda s: nn_search(s, sm, tgt, tm), src, reps)
-    for ts, tt in ((1024, 1024), (512, 1024), (256, 2048), (512, 2048)):
+    # src_tile must stay a 1024 multiple (1-D output layout rule,
+    # ops/chamfer.py); tgt_tile is free in 128 multiples.
+    for ts, tt in ((1024, 512), (1024, 1024), (2048, 512), (1024, 256),
+                   (2048, 1024), (4096, 512)):
         timeit_chain(f"pallas nn_search {N}x{N} tile=({ts},{tt})",
                      lambda s, ts=ts, tt=tt: nn_search_pallas(
                          s, sm, tgt, tm, src_tile=ts, tgt_tile=tt),
