@@ -34,6 +34,18 @@ if [ -e /tmp/rslo_proxy_gen/proxy.h5 ]; then
     --tag aug2
 fi
 
+# --- 1b: rotation diagnostics + supervised control --------------------
+# yaw corr/ratio on val (did the model learn rotation at all?)
+step 2400 /tmp/diag_preds_aug2b.log python -u scripts/diag_preds.py \
+  PillarMiddleCov 24 --tag=aug2
+# supervised control on world v2: discriminates "world/input issue"
+# (control also fails val rotation) from "self-sup objective issue"
+step 2700 /tmp/sup_ctrl_train.log python -u scripts/accuracy_proxy.py \
+  train --middle PillarMiddleCov --steps 3000 --supervised --remat 0 \
+  --tag aug2
+step 2400 /tmp/sup_ctrl_eval.log python -u scripts/accuracy_proxy.py \
+  eval --middle PillarMiddleCov --supervised --tag aug2
+
 # --- 2: matched-budget sparse aug2 (band engine) ----------------------
 for S in 1125 2250 3375 4500; do
   [ -e /tmp/sparse3_stop ] && break
