@@ -27,31 +27,31 @@ from accuracy_proxy import base_cfg, _model_dir  # noqa: E402
 
 
 def main(middle: str, n: int, supervised: bool, tag: str = ""):
-    from jax.sharding import Mesh
     from rslo_tpu.data.dataset import KittiWindowDataset
     from rslo_tpu.data.loader import collate
     from rslo_tpu.data.prepare import prepare_example, voxelizer_config
-    from rslo_tpu.train.loop import Trainer
+    from rslo_tpu.models.net import OdomNet
+    from rslo_tpu.train.checkpoint import CheckpointManager
 
     cfg = base_cfg(middle, 100)
     vcfg = voxelizer_config(cfg)
     ds = KittiWindowDataset(cfg.data, "train", seq_length=3)
-    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-    trainer = Trainer(cfg, _model_dir(middle, supervised, tag),
-                      mesh, rank0=False)
+    net = OdomNet(cfg)
 
-    b0 = collate([ds[0]], cfg.data)
-    ex0 = prepare_example(jnp.asarray(b0["points"][0]),
-                          jnp.asarray(b0["point_mask"][0]), vcfg)
-    ex0["odometry"] = jnp.asarray(b0["odometry"][0])
-    state = trainer.init_state(ex0)
-    print("restored step:", int(state.step), flush=True)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # raw restore — Trainer.init_state would jit the full train step
+    # (~20 min cold through the remote compile service) just for a
+    # restore template
+    raw = CheckpointManager.restore_raw_from(
+        _model_dir(middle, supervised, tag))
+    print("restored step:", int(np.asarray(raw.get("step", -1))),
+          flush=True)
+    variables = {"params": raw["params"],
+                 "batch_stats": raw.get("batch_stats", {})}
 
     @jax.jit
     def fwd(pts, msk):
         ex = prepare_example(pts, msk, vcfg)
-        return trainer.net.apply(variables, ex, train=False)["odometry"]
+        return net.apply(variables, ex, train=False)["odometry"]
 
     names = ["(0,1)", "(0,2)", "(1,2)"]
     P = {k: [] for k in names}

@@ -27,12 +27,12 @@ from accuracy_proxy import base_cfg, _model_dir  # noqa: E402
 
 
 def main(middle: str, n: int, supervised: bool = False, tag: str = ""):
-    from jax.sharding import Mesh
     from rslo_tpu.data.dataset import KittiWindowDataset
     from rslo_tpu.data.loader import collate
     from rslo_tpu.data.prepare import (mean_vfe_ok, prepare_example,
                                        voxelizer_config)
-    from rslo_tpu.train.loop import Trainer
+    from rslo_tpu.models.net import OdomNet
+    from rslo_tpu.train.checkpoint import CheckpointManager
 
     cfg = base_cfg(middle, 100)
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, seq_length=2))
@@ -40,18 +40,15 @@ def main(middle: str, n: int, supervised: bool = False, tag: str = ""):
     ds = KittiWindowDataset(cfg.data, "val", seq_length=2)
     mean_mode = mean_vfe_ok(cfg)
     mdir = _model_dir(middle, supervised, tag)
-    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-    trainer = Trainer(cfg, mdir, mesh)
-    net = trainer.net
+    net = OdomNet(cfg)
 
-    b0 = collate([ds[0]], cfg.data)
-    ex0 = jax.jit(lambda p, m: prepare_example(p, m, vcfg))(
-        jnp.asarray(b0["points"][0]), jnp.asarray(b0["point_mask"][0]))
-    ex0["odometry"] = jnp.asarray(b0["odometry"][0])
-    state = trainer.init_state(ex0)
-    print("restored step:", int(state.step))
-    variables = {"params": state.params,
-                 "batch_stats": state.batch_stats}
+    # raw restore (no Trainer/init_state: that would jit-compile the
+    # full train step just to build a template — ~20 min cold through
+    # the remote compile service)
+    raw = CheckpointManager.restore_raw_from(mdir)
+    print("restored step:", int(np.asarray(raw.get("step", -1))))
+    variables = {"params": raw["params"],
+                 "batch_stats": raw.get("batch_stats", {})}
 
     @jax.jit
     def fwd(v, p, m):
