@@ -38,6 +38,8 @@ fi
 # yaw corr/ratio on val (did the model learn rotation at all?)
 step 2400 /tmp/diag_preds_aug2b.log python -u scripts/diag_preds.py \
   PillarMiddleCov 24 --tag=aug2
+step 2400 /tmp/diag_pairtypes_aug2b.log python -u scripts/diag_pairtypes.py \
+  PillarMiddleCov 6 --tag=aug2
 # supervised control on world v2: discriminates "world/input issue"
 # (control also fails val rotation) from "self-sup objective issue"
 step 2700 /tmp/sup_ctrl_train.log python -u scripts/accuracy_proxy.py \
