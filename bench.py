@@ -197,9 +197,15 @@ def main():
         line["sparse_fps"] = round(rec["sparse"], 3)
         line["sparse_engine"] = sparse_engine
     if os.environ.get("RSLO_BENCH_STREAMING"):
-        line["streaming_fps"] = round(
-            bench_streaming("PillarMiddleCov",
-                            PipelineCfg().middle.engine), 3)
+        if only in (None, "PillarMiddleCov"):
+            line["streaming_fps"] = round(
+                bench_streaming("PillarMiddleCov",
+                                PipelineCfg().middle.engine), 3)
+        if only in (None, "SparseMiddleCov"):
+            # deployment shape for the parity path too: each frame's
+            # plans are built + encoded ONCE, reused by the next pair
+            line["sparse_streaming_fps"] = round(
+                bench_streaming("SparseMiddleCov", sparse_engine), 3)
     print(json.dumps(line))
 
 

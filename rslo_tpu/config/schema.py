@@ -50,6 +50,11 @@ class MiddleCfg:
     # engine loses (0.67 vs 2.8 fps: 1.9% L0 fill wastes 50x MXU work
     # and the octant scatters lower badly) — see BENCH_NOTES.
     engine: str = "rulebook"
+    # rulebook lookup method: "slot_map" (dense id->slot table, one
+    # random HBM gather per (row, tap)) or "ranked" (windowed
+    # compare-reduce ranks over the sorted id array — no slot maps, no
+    # large-table gathers; sparse_conv._lookup_ranked)
+    plan_lookup: str = "slot_map"
     # banded engine knobs: out-row block size and (subm, down, inverse)
     # window widths — must cover the measured per-block index spreads
     # (overflow pairs keep correctness when they don't).  Every window
@@ -61,11 +66,14 @@ class MiddleCfg:
     band_block: int = 256
     band_windows: Tuple[int, ...] = (384, 1280, 768)
     # per-level engine dispatch: rulebooks whose widest conv is below
-    # this stay on the XLA row-gather path (one-hot MXU gathers are
-    # overhead-dominated at narrow channels: 3.43 vs 1.41 ms/L0 conv at
-    # C=16 on v5e, BENCH_NOTES r2); wide levels use the fused band
-    # kernel.  0 = wrap every level (round-2 behavior).
-    band_min_channels: int = 64
+    # this stay on the XLA row-gather path; wide levels use the fused
+    # band kernel.  Round 2's "rulebook wins at C<64" was an artifact of
+    # a lane-misaligned subm window silently hitting the XLA fallback —
+    # with aligned windows the fused kernel wins at EVERY width
+    # (3.3-3.5 vs 5.3-7.5 ms/L0 conv, BENCH_NOTES r3) and end-to-end
+    # (5.32 fps wrap-all vs 4.08 fps at min_channels=64, r3g), so the
+    # default wraps every level.
+    band_min_channels: int = 0
     # static active-tile capacities for the tiled engine (L0, L1)
     tile_capacities: Tuple[int, ...] = (16384, 8192)
     # static tile shape (z, y, x), even dims; short-z fits the thin

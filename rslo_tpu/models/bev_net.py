@@ -102,6 +102,15 @@ class Norm(nn.Module):
     bn_type: str = "sync_bn"
     momentum: float = 0.99
     eps: float = 1e-3
+    # Per-channel train-time noise injection after normalization
+    # ((x + shift) * scale, shift ~ N(0, shift_std), scale ~ N(1,
+    # scale_std)) — the SPC wrappers' regularization option
+    # (rslo/layers/SparseConv.py:22-219, noise_scale_std /
+    # noise_shift_std).  Like the reference, no deployed config sets it
+    # (the builders never pass nonzero); callers that want it supply an
+    # rng stream named "bn_noise".
+    noise_scale_std: float = 0.0
+    noise_shift_std: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -136,7 +145,15 @@ class Norm(nn.Module):
         else:
             mu, var = ra_mean.value, ra_var.value
         y = (x.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + self.eps)
-        return (y * scale + bias).astype(x.dtype)
+        y = y * scale + bias
+        if train and (self.noise_scale_std or self.noise_shift_std):
+            ks, ksh = jax.random.split(self.make_rng("bn_noise"))
+            nscale = 1.0 + self.noise_scale_std * jax.random.normal(
+                ks, (C,), jnp.float32)
+            nshift = self.noise_shift_std * jax.random.normal(
+                ksh, (C,), jnp.float32)
+            y = (y + nshift) * nscale
+        return y.astype(x.dtype)
 
 
 class BasicBlock(nn.Module):

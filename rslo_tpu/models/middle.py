@@ -52,11 +52,18 @@ DOWN_SPECS = (
 
 
 def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
-                   capacities) -> FrameGeometry:
+                   capacities, lookup: str | None = None) -> FrameGeometry:
     """coords: (V, 3) zyx int32; sparse_shape: (nz, ny, nx) with the
     reference's +1 on z already applied; capacities: per-level static caps
-    (L4 reuses the L3 capacity)."""
-    l0 = sc.with_slot_map(sc.level_from_coords(coords, mask, sparse_shape))
+    (L4 reuses the L3 capacity).
+
+    lookup: rulebook lookup method — None/'slot_map' (dense id->slot
+    table, one random gather per (row, tap)) or 'ranked' (windowed
+    compare-reduce ranks, no slot maps; see sparse_conv._lookup_ranked).
+    """
+    ranked = lookup == "ranked"
+    attach = (lambda l: l) if ranked else sc.with_slot_map
+    l0 = attach(sc.level_from_coords(coords, mask, sparse_shape))
     levels = [l0]
     down_rb = []
     caps = list(capacities) + [capacities[-1]]
@@ -64,13 +71,17 @@ def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
         nxt = sc.downsample_level(levels[-1], k, s, p,
                                   out_capacity=caps[min(i + 1, len(caps) - 1)])
         if i < len(DOWN_SPECS) - 1:  # L4 is never looked up in
-            nxt = sc.with_slot_map(nxt)
-        down_rb.append(sc.build_conv_index(levels[-1], nxt, k, s, p))
+            nxt = attach(nxt)
+        down_rb.append(sc.build_conv_index(levels[-1], nxt, k, s, p,
+                                           lookup=lookup))
         levels.append(nxt)
-    sub_rb = tuple(sc.build_submanifold_index(l) for l in levels[:4])
+    sub_rb = tuple(sc.build_submanifold_index(l, lookup=lookup)
+                   for l in levels[:4])
     inv_rb = (
-        sc.build_inverse_index(levels[2], levels[1], *DOWN_SPECS[1]),
-        sc.build_inverse_index(levels[1], levels[0], *DOWN_SPECS[0]),
+        sc.build_inverse_index(levels[2], levels[1], *DOWN_SPECS[1],
+                               lookup=lookup),
+        sc.build_inverse_index(levels[1], levels[0], *DOWN_SPECS[0],
+                               lookup=lookup),
     )
     return FrameGeometry(tuple(levels), sub_rb, tuple(down_rb), inv_rb)
 
@@ -87,7 +98,8 @@ def build_band_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
                                              bc.INV_WINDOW),
                         block: int = 256,
                         channels=None,
-                        min_channels: int = 0) -> FrameGeometry:
+                        min_channels: int = 0,
+                        lookup: str | None = None) -> FrameGeometry:
     """Rulebook geometry with ConvIndexes wrapped into banded one-hot
     gather plans (ops/band_conv.py) — same FrameGeometry shape, so the
     plan/provider machinery is shared with the rulebook engine.
@@ -101,7 +113,8 @@ def build_band_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
     them through the XLA row-gather path; the wide levels keep the
     fused band kernel.  min_channels=0 wraps everything (r2 behavior).
     """
-    geo = build_geometry(coords, mask, sparse_shape, capacities)
+    geo = build_geometry(coords, mask, sparse_shape, capacities,
+                         lookup=lookup)
     sw, dw, iw = windows
 
     if channels is None:

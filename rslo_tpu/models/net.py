@@ -122,9 +122,11 @@ class OdomNet(nn.Module):
                 windows=tuple(self.cfg.middle.band_windows),
                 block=self.cfg.middle.band_block,
                 channels=tuple(self.cfg.middle.channels),
-                min_channels=self.cfg.middle.band_min_channels)
+                min_channels=self.cfg.middle.band_min_channels,
+                lookup=self.cfg.middle.plan_lookup)
         return build_geometry(coords, vmask, self.sparse_shape,
-                              self.cfg.middle.level_capacities)
+                              self.cfg.middle.level_capacities,
+                              lookup=self.cfg.middle.plan_lookup)
 
     def frame_features(self, voxel_features, coords, vmask,
                        train: bool = False):

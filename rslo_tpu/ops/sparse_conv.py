@@ -134,8 +134,112 @@ def _lookup(level: SparseLevel, query_ids: jax.Array,
     return idx.reshape(shape), found.reshape(shape)
 
 
+def _lookup_ranked(level: SparseLevel, query_ids: jax.Array,
+                   query_valid: jax.Array, block: int = 256,
+                   win: int = 4096,
+                   stray_capacity: int = 8192) -> tuple[jax.Array,
+                                                        jax.Array]:
+    """Windowed-rank lookup: same contract as :func:`_lookup`, built for
+    the TPU's gather economics.
+
+    The slot-map path costs one random gather per (row, tap) into a
+    44M-entry (177 MB) HBM table — measured 16.4 ms for the 1.1M L0
+    submanifold queries (geometry profile, BENCH_NOTES r3g), ~60% of the
+    whole sparse plan build.  This formulation exploits two invariants:
+
+      * ``level.ids`` is sorted and unique, so a voxel's row index IS the
+        rank of its id:  idx(q) = #{ids < q},  present(q) = q ∈ ids.
+      * out rows are sorted too, so a 256-row block's 27 neighbor ids
+        all land within a narrow contiguous slice of ``ids`` (the same
+        locality the banded conv kernel rides): rank and presence can be
+        computed against ONE per-block window of ``ids`` with fused
+        broadcast-compare-reduces on the VPU — no large-table gathers.
+
+    Exactness: queries above the window's value range ("strays" — the
+    window is sized to make them rare; zero at deployed shapes) are
+    resolved by a compact ``stray_capacity``-bounded binary search over
+    the full id array and merged back, so the result is bit-equal to
+    :func:`_lookup` as long as the per-block stray count fits the
+    capacity; blocks report saturation via the returned diagnostics-free
+    contract (callers asserting exactness use tests at deployed shapes,
+    mirroring the band-plan overflow guard).
+    """
+    shape = query_ids.shape
+    Vin = level.ids.shape[0]
+    sent = level.sentinel
+    q2 = jnp.where(query_valid, query_ids, sent).reshape(-1)
+    n = q2.shape[0]
+    nB = -(-n // block)
+    npad = nB * block
+    qp = jnp.concatenate(
+        [q2, jnp.full((npad - n,), sent, q2.dtype)]).reshape(nB, block)
+    vp = jnp.concatenate(
+        [query_valid.reshape(-1),
+         jnp.zeros((npad - n,), bool)]).reshape(nB, block)
+
+    W = min(win, Vin)
+    qmin = jnp.min(jnp.where(vp, qp, sent), axis=1)            # (nB,)
+    lo = jnp.searchsorted(level.ids, qmin, method="scan").astype(
+        jnp.int32)
+    lo = jnp.clip(lo, 0, Vin - W)
+    wids = level.ids[lo[:, None] + jnp.arange(W, dtype=jnp.int32)]
+
+    # fused compare-reduces: rank-in-window and presence.  The
+    # (nB, block, W) broadcast never materializes — XLA fuses the
+    # compare into the reduction.
+    rank = jnp.sum((wids[:, None, :] < qp[:, :, None]).astype(jnp.int32),
+                   axis=-1)
+    present = jnp.any(wids[:, None, :] == qp[:, :, None], axis=-1)
+    idx = lo[:, None] + rank
+    top = wids[:, -1]                                          # (nB,)
+    resolved = qp <= top[:, None]
+    found = present & vp & resolved
+
+    # strays: valid queries above the window range — exact fallback via
+    # a compact binary search (cumsum + searchsorted compaction, the
+    # band-overflow pattern).
+    stray = (vp & ~resolved).reshape(-1)
+    n_stray = jnp.sum(stray.astype(jnp.int32))
+
+    def _resolve(args):
+        idx_f, found_f = args
+        cum = jnp.cumsum(stray.astype(jnp.int32))
+        pos = jnp.searchsorted(
+            cum, jnp.arange(1, stray_capacity + 1, dtype=jnp.int32),
+            method="scan").astype(jnp.int32)
+        live = pos < npad
+        posc = jnp.minimum(pos, npad - 1)
+        sq = jnp.where(live, qp.reshape(-1)[posc], sent)
+        si = jnp.searchsorted(level.ids, sq, method="scan").astype(
+            jnp.int32)
+        si = jnp.minimum(si, Vin - 1)
+        sfound = (level.ids[si] == sq) & live
+        idx_f = idx_f.at[posc].set(jnp.where(live, si, idx_f[posc]))
+        found_f = found_f.at[posc].set(
+            jnp.where(live, sfound, found_f[posc]))
+        return idx_f, found_f
+
+    idx_f, found_f = jax.lax.cond(
+        n_stray > 0, _resolve, lambda a: a,
+        (idx.reshape(-1), found.reshape(-1)))
+    idx_f = jnp.minimum(idx_f, Vin - 1)[:n]
+    return (idx_f.reshape(shape),
+            found_f[:n].reshape(shape) & query_valid)
+
+
+LOOKUP_METHODS = ("slot_map", "ranked")
+
+
+def _dispatch_lookup(level: SparseLevel, q: jax.Array, v: jax.Array,
+                     method: str | None):
+    if method == "ranked":
+        return _lookup_ranked(level, q, v)
+    return _lookup(level, q, v)
+
+
 def build_submanifold_index(level: SparseLevel,
-                            kernel=(3, 3, 3)) -> ConvIndex:
+                            kernel=(3, 3, 3),
+                            lookup: str | None = None) -> ConvIndex:
     """Rulebook for submanifold conv: out sites == in sites, neighbors
     looked up at coord + offset - k//2.  All taps in one lookup."""
     offs = _kernel_offsets(kernel)
@@ -145,7 +249,8 @@ def build_submanifold_index(level: SparseLevel,
     nb = level.coords[:, None, :] + jnp.asarray(offs - half, jnp.int32)
     inb = jnp.all((nb >= 0) & (nb < jnp.asarray(shp)), axis=-1)
     q = linearize(nb, level.shape)
-    idx, found = _lookup(level, q, inb & level.mask[:, None])
+    idx, found = _dispatch_lookup(level, q, inb & level.mask[:, None],
+                                  lookup)
     return ConvIndex(idx, found)
 
 
@@ -267,7 +372,8 @@ def downsample_level_scatter(level: SparseLevel, kernel, stride, padding,
 
 
 def build_conv_index(in_level: SparseLevel, out_level: SparseLevel,
-                     kernel, stride, padding) -> ConvIndex:
+                     kernel, stride, padding,
+                     lookup: str | None = None) -> ConvIndex:
     """Rulebook for a strided conv: in site = s*o + d - p per tap d."""
     offs = _kernel_offsets(kernel)
     stride = np.asarray(stride)
@@ -277,12 +383,14 @@ def build_conv_index(in_level: SparseLevel, out_level: SparseLevel,
         + jnp.asarray(offs - padding, jnp.int32)          # (V, K, 3)
     inb = jnp.all((src >= 0) & (src < jnp.asarray(shp)), axis=-1)
     q = linearize(src, in_level.shape)
-    idx, found = _lookup(in_level, q, inb & out_level.mask[:, None])
+    idx, found = _dispatch_lookup(in_level, q,
+                                  inb & out_level.mask[:, None], lookup)
     return ConvIndex(idx, found)
 
 
 def build_inverse_index(coarse: SparseLevel, fine: SparseLevel,
-                        kernel, stride, padding) -> ConvIndex:
+                        kernel, stride, padding,
+                        lookup: str | None = None) -> ConvIndex:
     """Rulebook for inverse (transposed) conv: out sites are the FINE
     level; tap d contributes from coarse site c when ``f = s*c + d - p``
     i.e. ``c = (f + p - d) / s`` is integral and active."""
@@ -295,8 +403,9 @@ def build_inverse_index(coarse: SparseLevel, fine: SparseLevel,
     c = num // jnp.asarray(stride, jnp.int32)
     inb = jnp.all((c >= 0) & (c < jnp.asarray(shp)), axis=-1)
     q = linearize(c, coarse.shape)
-    idx, found = _lookup(coarse, q,
-                         divisible & inb & fine.mask[:, None])
+    idx, found = _dispatch_lookup(coarse, q,
+                                  divisible & inb & fine.mask[:, None],
+                                  lookup)
     return ConvIndex(idx, found)
 
 

@@ -164,6 +164,33 @@ def test_normalized_mask_conv_partial_invariance(rng):
                                   np.asarray(max_pool_mask(mask, 3, 1)))
 
 
+def test_norm_noise_injection(rng):
+    """SPC wrappers' per-channel noise option (SparseConv.py:22-219):
+    train-time (x + shift)*scale with per-channel gaussians; eval and
+    std=0 paths are noise-free and need no rng stream."""
+    from rslo_tpu.models.bev_net import Norm
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    mod = Norm("bn", noise_scale_std=0.3, noise_shift_std=0.2)
+    v = mod.init({"params": jax.random.PRNGKey(0),
+                  "bn_noise": jax.random.PRNGKey(1)}, x, train=True)
+    y1, _ = mod.apply(v, x, train=True, mutable=["batch_stats"],
+                      rngs={"bn_noise": jax.random.PRNGKey(2)})
+    y2, _ = mod.apply(v, x, train=True, mutable=["batch_stats"],
+                      rngs={"bn_noise": jax.random.PRNGKey(3)})
+    d = np.asarray(y1 - y2)
+    assert np.abs(d).max() > 1e-3                  # noise is applied
+    # per-channel affine: within a channel the two outputs are related
+    # by one (shift, scale) pair -> d varies per channel, and eval mode
+    # is deterministic without an rng stream
+    ye1 = mod.apply(v, x, train=False)
+    ye2 = mod.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(ye1), np.asarray(ye2))
+    # std=0: no rng stream needed in train mode (deployed-config path)
+    mod0 = Norm("bn")
+    v0 = mod0.init(jax.random.PRNGKey(0), x, train=True)
+    mod0.apply(v0, x, train=True, mutable=["batch_stats"])
+
+
 def test_sparse_conv_type_forward(rng):
     """conv_type='sparse_conv' wires through the BEV net."""
     import dataclasses

@@ -164,6 +164,77 @@ def test_to_dense_scatter(rng):
     np.testing.assert_allclose(d, dense_of(level, feats), atol=1e-6)
 
 
+def test_ranked_lookup_matches_slot_map(rng):
+    """_lookup_ranked (windowed compare-reduce ranks) is bit-equal to
+    the slot-map lookup across subm/down/inverse rulebooks — including
+    when a tiny window forces the stray-fallback binary search."""
+    level, _ = random_level(rng, n_active=40, cap=64)
+    level_sm = sc.with_slot_map(level)
+    for kind in ("subm", "down", "inv"):
+        if kind == "subm":
+            a = sc.build_submanifold_index(level_sm)
+            b = sc.build_submanifold_index(level, lookup="ranked")
+        elif kind == "down":
+            out = sc.downsample_level(level, (3, 3, 3), (2, 2, 2),
+                                      (1, 1, 1), out_capacity=48)
+            a = sc.build_conv_index(level_sm, out, (3, 3, 3), (2, 2, 2),
+                                    (1, 1, 1))
+            b = sc.build_conv_index(level, out, (3, 3, 3), (2, 2, 2),
+                                    (1, 1, 1), lookup="ranked")
+        else:
+            coarse = sc.with_slot_map(sc.downsample_level(
+                level, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_capacity=48))
+            a = sc.build_inverse_index(coarse, level_sm, (3, 3, 3),
+                                       (2, 2, 2), (1, 1, 1))
+            b = sc.build_inverse_index(
+                coarse.replace(slot_map=None), level_sm, (3, 3, 3),
+                (2, 2, 2), (1, 1, 1), lookup="ranked")
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid), err_msg=kind)
+        # idx only meaningful where valid
+        va = np.asarray(a.valid)
+        np.testing.assert_array_equal(np.asarray(a.idx)[va],
+                                      np.asarray(b.idx)[va], err_msg=kind)
+
+
+def test_ranked_lookup_stray_fallback(rng):
+    """Force strays (window smaller than the id spread) and check the
+    compact binary-search fallback keeps the result exact."""
+    level, _ = random_level(rng, n_active=40, cap=64)
+    q = sc.linearize(level.coords[:, None, :] +
+                     jnp.asarray([[0, 0, 0], [1, 1, 1], [-1, 0, 1],
+                                  [2, -2, 0]], jnp.int32)[None],
+                     level.shape)
+    inb = (q >= 0) & (q < level.sentinel) & level.mask[:, None]
+    ia, fa = sc._lookup(sc.with_slot_map(level), q, inb)
+    ib, fb = sc._lookup_ranked(level, q, inb, block=8, win=16)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    m = np.asarray(fa)
+    np.testing.assert_array_equal(np.asarray(ia)[m], np.asarray(ib)[m])
+
+
+def test_geometry_ranked_matches_slot_map(rng):
+    """Full build_geometry with lookup='ranked' reproduces every
+    rulebook of the slot-map build bit-exactly."""
+    from rslo_tpu.models.middle import build_geometry
+    shape = (25, 16, 16)  # z >= 25: the 4-stage downsample needs L3 z>=3
+    level, _ = random_level(rng, n_active=160, cap=192, shape=shape)
+    caps = (192, 128, 96, 64)
+    ga = build_geometry(level.coords, level.mask, shape, caps)
+    gb = build_geometry(level.coords, level.mask, shape, caps,
+                        lookup="ranked")
+    for name in ("sub_rb", "down_rb", "inv_rb"):
+        for i, (a, b) in enumerate(zip(getattr(ga, name),
+                                       getattr(gb, name))):
+            np.testing.assert_array_equal(
+                np.asarray(a.valid), np.asarray(b.valid),
+                err_msg=f"{name}[{i}]")
+            m = np.asarray(a.valid)
+            np.testing.assert_array_equal(
+                np.asarray(a.idx)[m], np.asarray(b.idx)[m],
+                err_msg=f"{name}[{i}]")
+
+
 def test_downsample_scatter_matches_sort():
     """Sort-free dense-occupancy downsample must produce the identical
     sorted level as the sort-based one (ids, coords, mask), for both
