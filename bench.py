@@ -118,11 +118,14 @@ def bench_streaming(middle: str, engine: str, T: int = 8,
     from rslo_tpu.utils.synthetic import synth_sequence
 
     cfg = cfg or PipelineCfg()
+    mc = int(os.environ.get("RSLO_BAND_MIN_CHANNELS",
+                            cfg.middle.band_min_channels))
     pl = os.environ.get("RSLO_PLAN_LOOKUP", cfg.middle.plan_lookup)
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, seq_length=2),
         middle=dataclasses.replace(cfg.middle, name=middle,
-                                   engine=engine, plan_lookup=pl))
+                                   engine=engine, band_min_channels=mc,
+                                   plan_lookup=pl))
     net = OdomNet(cfg)
     vcfg = voxelizer_config(cfg)
     mean_mode = mean_vfe_ok(cfg)

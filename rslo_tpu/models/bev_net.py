@@ -146,6 +146,12 @@ class Norm(nn.Module):
             mu, var = ra_mean.value, ra_var.value
         y = (x.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
+        # Deliberate deviation from the reference SPC wrappers
+        # (rslo/layers/SparseConv.py:46-53): there, noise is applied
+        # unconditionally (eval included) and SPC_MaskSyncBN2d re-masks
+        # after the noise.  Here it is train-only and NOT re-masked
+        # (nshift makes padded zeros nonzero) — acceptable because no
+        # deployed config enables it; see PARITY.md §2.5 [ADVICE r3].
         if train and (self.noise_scale_std or self.noise_shift_std):
             ks, ksh = jax.random.split(self.make_rng("bn_noise"))
             nscale = 1.0 + self.noise_scale_std * jax.random.normal(

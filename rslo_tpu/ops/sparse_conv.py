@@ -23,6 +23,7 @@ Submanifold (stride 1, out sites == in sites), strided downsample
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -157,12 +158,15 @@ def _lookup_ranked(level: SparseLevel, query_ids: jax.Array,
 
     Exactness: queries above the window's value range ("strays" — the
     window is sized to make them rare; zero at deployed shapes) are
-    resolved by a compact ``stray_capacity``-bounded binary search over
-    the full id array and merged back, so the result is bit-equal to
-    :func:`_lookup` as long as the per-block stray count fits the
-    capacity; blocks report saturation via the returned diagnostics-free
-    contract (callers asserting exactness use tests at deployed shapes,
-    mirroring the band-plan overflow guard).
+    resolved by a compact binary search over the full id array and
+    merged back, so the result is bit-equal to :func:`_lookup` as long
+    as the TOTAL stray count across all blocks fits ``stray_capacity``
+    (a GLOBAL cap, not per-block).  Past the cap, excess strays keep
+    ``found=False`` — a documented-inexact path mirrored on the band
+    plan's overflow saturation.  Guards: deployed-shape tests assert
+    zero strays, and setting ``RSLO_BAND_CHECK=1`` (the same opt-in env
+    flag as the band overflow guard) raises at runtime when
+    ``n_stray > stray_capacity``.
     """
     shape = query_ids.shape
     Vin = level.ids.shape[0]
@@ -210,22 +214,36 @@ def _lookup_ranked(level: SparseLevel, query_ids: jax.Array,
     stray = (vp & ~resolved).reshape(-1)
     n_stray = jnp.sum(stray.astype(jnp.int32))
 
+    if os.environ.get("RSLO_BAND_CHECK"):
+        # opt-in runtime guard for the documented-inexact saturation
+        # path (strays past stray_capacity keep found=False).  Env-
+        # gated: the host callback stalls the dispatch stream.
+        def _check(cnt):
+            if int(cnt) > stray_capacity:
+                raise RuntimeError(
+                    f"ranked-lookup stray overflow: {int(cnt)} strays > "
+                    f"capacity {stray_capacity} — rulebook entries would "
+                    f"be dropped; widen `win` or raise stray_capacity")
+        jax.debug.callback(_check, n_stray)
+
     def _resolve(args):
         idx_f, found_f = args
         cum = jnp.cumsum(stray.astype(jnp.int32))
         pos = jnp.searchsorted(
             cum, jnp.arange(1, stray_capacity + 1, dtype=jnp.int32),
             method="scan").astype(jnp.int32)
-        live = pos < npad
-        posc = jnp.minimum(pos, npad - 1)
-        sq = jnp.where(live, qp.reshape(-1)[posc], sent)
+        # entries past n_stray have pos == npad: scatter with
+        # mode='drop' discards them instead of clamping onto npad-1
+        # (a clamped dead write races the live write at npad-1 when
+        # rows % block == 0 — JAX duplicate-index scatter order is
+        # undefined) [ADVICE r3].
+        sq = qp.reshape(-1)[jnp.minimum(pos, npad - 1)]
         si = jnp.searchsorted(level.ids, sq, method="scan").astype(
             jnp.int32)
         si = jnp.minimum(si, Vin - 1)
-        sfound = (level.ids[si] == sq) & live
-        idx_f = idx_f.at[posc].set(jnp.where(live, si, idx_f[posc]))
-        found_f = found_f.at[posc].set(
-            jnp.where(live, sfound, found_f[posc]))
+        sfound = level.ids[si] == sq
+        idx_f = idx_f.at[pos].set(si, mode="drop")
+        found_f = found_f.at[pos].set(sfound, mode="drop")
         return idx_f, found_f
 
     idx_f, found_f = jax.lax.cond(
@@ -241,6 +259,10 @@ LOOKUP_METHODS = ("slot_map", "ranked")
 
 def _dispatch_lookup(level: SparseLevel, q: jax.Array, v: jax.Array,
                      method: str | None):
+    if method is not None and method not in LOOKUP_METHODS:
+        raise ValueError(
+            f"unknown plan_lookup method {method!r}; "
+            f"expected one of {LOOKUP_METHODS}")
     if method == "ranked":
         return _lookup_ranked(level, q, v)
     return _lookup(level, q, v)

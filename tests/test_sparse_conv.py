@@ -261,3 +261,44 @@ def test_downsample_scatter_matches_sort():
         np.testing.assert_array_equal(np.asarray(a.mask),
                                       np.asarray(b.mask))
         assert a.shape == b.shape
+
+
+def test_ranked_lookup_stray_drop_no_collision(rng):
+    """ADVICE r3 medium: when rows % block == 0 (npad == n) and the
+    FINAL (row, tap) query is a live stray, dead fallback entries used
+    to clamp onto index npad-1 and race the live write (duplicate-index
+    scatter order is undefined).  The mode='drop' scatter must keep the
+    last stray resolved exactly."""
+    level, _ = random_level(rng, n_active=32, cap=32)  # mask all-valid
+    rows = 8
+    # one tap per row, K=1: query the 8 LARGEST ids from the last rows,
+    # so with a tiny window the final query is guaranteed a stray
+    q = level.ids[-rows:][:, None].astype(jnp.int32)
+    # decode back to coords-free direct id queries (already linearized)
+    valid = jnp.ones((rows, 1), bool)
+    ia, fa = sc._lookup(sc.with_slot_map(level), q, valid)
+    ib, fb = sc._lookup_ranked(level, q, valid, block=rows, win=4)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    assert bool(np.asarray(fb)[-1, 0]), "final stray lost (collision)"
+    m = np.asarray(fa)
+    np.testing.assert_array_equal(np.asarray(ia)[m], np.asarray(ib)[m])
+
+
+def test_ranked_lookup_stray_guard_and_validation(rng, monkeypatch):
+    """Env-gated stray-saturation raise (global cap, ADVICE r3) and
+    plan_lookup method validation."""
+    import pytest
+    level, _ = random_level(rng, n_active=32, cap=32)
+    q = level.ids[-16:][:, None].astype(jnp.int32)
+    valid = jnp.ones((16, 1), bool)
+    monkeypatch.setenv("RSLO_BAND_CHECK", "1")
+    with pytest.raises(Exception, match="stray overflow"):
+        i, f = sc._lookup_ranked(level, q, valid, block=16, win=4,
+                                 stray_capacity=2)
+        np.asarray(f)
+    # within capacity: guard passes, result exact
+    i, f = sc._lookup_ranked(level, q, valid, block=16, win=4,
+                             stray_capacity=64)
+    assert np.asarray(f).all()
+    with pytest.raises(ValueError, match="plan_lookup"):
+        sc._dispatch_lookup(level, q, valid, "rankd")
