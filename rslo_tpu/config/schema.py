@@ -51,9 +51,12 @@ class MiddleCfg:
     # and the octant scatters lower badly) — see BENCH_NOTES.
     engine: str = "rulebook"
     # rulebook lookup method: "slot_map" (dense id->slot table, one
-    # random HBM gather per (row, tap)) or "ranked" (windowed
+    # random HBM gather per (row, tap)), "ranked" (windowed
     # compare-reduce ranks over the sorted id array — no slot maps, no
-    # large-table gathers; sparse_conv._lookup_ranked)
+    # large-table gathers; sparse_conv._lookup_ranked), or
+    # "ranked_planes"/"sorted_planes" (3x fewer lookups: one rank query
+    # per (dz, dy) kernel plane, x-offset taps derived from id
+    # adjacency; rank via the windowed path resp. plain searchsorted)
     plan_lookup: str = "slot_map"
     # banded engine knobs: out-row block size and (subm, down, inverse)
     # window widths — must cover the measured per-block index spreads
@@ -164,6 +167,12 @@ class DataCfg:
     # random_aug_ratio, preprocess.py:389-458); 0 disables
     pose_interp_ratio: float = 0.0
     max_points: int = 131072         # static host->device point capacity
+    # int16-quantize the host->device point transfer (4x fewer bytes;
+    # ~2 mm position rounding — below sensor noise, opt-in because it
+    # breaks bit-equality with the f32 path).  The axon tunnel uploads
+    # at ~4 MB/s, so at KITTI scale the 11 MB/step f32 point batch IS
+    # the train-step wall time (measured 3.1 s/step vs 0.2 s compute).
+    quantize_transfer: bool = False
     downsample_voxel_sizes: Tuple[float, ...] = (0.1,)
     # ship the offline hier clouds to device (for loss.use_hier_points)
     load_hier_points: bool = False

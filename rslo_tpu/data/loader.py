@@ -23,6 +23,25 @@ import numpy as np
 from ..config.schema import DataCfg
 from .augment import pose_interp_aug, random_flip_y
 
+# int16 transfer-quantization scales (shared with prepare.dequantize):
+# channel 0-2 are metric positions (+-128 m at ~3.9 mm resolution —
+# below LiDAR sensor noise and 25x under the 0.1 m voxel pitch), all
+# remaining channels are unit-range (intensity, normals).
+QUANT_POS_SCALE = 128.0 / 32767.0
+QUANT_UNIT_SCALE = 1.0 / 32767.0
+
+
+def quant_scale(n_features: int) -> np.ndarray:
+    s = np.full((n_features,), QUANT_UNIT_SCALE, np.float32)
+    s[:3] = QUANT_POS_SCALE
+    return s
+
+
+def quantize_points(pts: np.ndarray) -> np.ndarray:
+    """(..., F) f32 -> int16 with the shared per-channel scales."""
+    s = quant_scale(pts.shape[-1])
+    return np.clip(np.rint(pts / s), -32767, 32767).astype(np.int16)
+
 
 def pad_points(pts: np.ndarray, n_max: int,
                rng: np.random.Generator | None = None):
@@ -70,9 +89,13 @@ def collate(samples: list, cfg: DataCfg,
                     s["hier_points"][t], Nh, rng)
         odom[d] = s["odometry"]
         meta.append((s.get("seq", -1), tuple(s.get("frames", ()))))
+    if cfg.quantize_transfer:
+        pts = quantize_points(pts)
     out = {"points": pts, "point_mask": msk, "odometry": odom,
            "meta": meta}
     if want_hier:
+        if cfg.quantize_transfer:
+            hier = quantize_points(hier)
         out["hier_points"] = hier
         out["hier_mask"] = hmask
     return out

@@ -26,10 +26,22 @@ def voxelizer_config(cfg: PipelineCfg) -> VoxelizerConfig:
     )
 
 
+def dequantize_points(points: jax.Array) -> jax.Array:
+    """Undo the loader's int16 transfer quantization (no-op on float
+    inputs).  Scales are the static constants shared with
+    data/loader.py::quantize_points."""
+    if not jnp.issubdtype(points.dtype, jnp.integer):
+        return points
+    from .loader import quant_scale
+    s = jnp.asarray(quant_scale(points.shape[-1]))
+    return points.astype(jnp.float32) * s
+
+
 def prepare_example(points: jax.Array, point_mask: jax.Array,
                     vcfg: VoxelizerConfig,
                     mean_mode: bool = False) -> Dict[str, jax.Array]:
-    """points: (L, N, F) padded frames; point_mask: (L, N) bool.
+    """points: (L, N, F) padded frames (f32, or int16 transfer-quantized
+    — dequantized here); point_mask: (L, N) bool.
     Returns the voxelized example consumed by OdomNet (no batch dim).
 
     ``mean_mode`` emits pre-encoded per-voxel mean features directly
@@ -38,6 +50,7 @@ def prepare_example(points: jax.Array, point_mask: jax.Array,
     skips the (V, P, F) point-list scatter and the VFE re-gather while
     producing identical features (same per-voxel point cap)."""
     from ..ops.voxelize import voxelize_sorted_mean
+    points = dequantize_points(points)
     L = points.shape[0]
     if mean_mode:
         vox = [voxelize_sorted_mean(points[t], point_mask[t], vcfg)

@@ -82,7 +82,9 @@ def compute_objective(preds: Dict[str, Any], example: Dict[str, Any],
             # hier-points fallback (voxel_odom_net.py:654): consistency
             # runs on the offline hierarchical clouds (xyz + normals)
             # with NO covariance modeling.
-            hp = example["hier_points"].astype(jnp.float32)  # (L, Nh, 6)
+            from ..data.prepare import dequantize_points
+            hp = dequantize_points(
+                example["hier_points"]).astype(jnp.float32)  # (L, Nh, 6)
             hm = example["hier_mask"]                        # (L, Nh)
             Nh = hp.shape[1]
             stride_h = max(1, -(-Nh // cfg.max_loss_points))

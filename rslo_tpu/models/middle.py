@@ -58,11 +58,21 @@ def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
     (L4 reuses the L3 capacity).
 
     lookup: rulebook lookup method — None/'slot_map' (dense id->slot
-    table, one random gather per (row, tap)) or 'ranked' (windowed
-    compare-reduce ranks, no slot maps; see sparse_conv._lookup_ranked).
+    table, one random gather per (row, tap)), 'ranked' (windowed
+    compare-reduce ranks, no slot maps; see sparse_conv._lookup_ranked),
+    or 'ranked_planes'/'sorted_planes' (3x fewer lookups: one rank
+    query per (dz, dy) kernel plane, x-offset taps derived from id
+    adjacency — sparse_conv.build_submanifold_index_planes; rank via
+    the windowed path resp. plain searchsorted).
     """
-    ranked = lookup == "ranked"
-    attach = (lambda l: l) if ranked else sc.with_slot_map
+    no_slot = lookup in ("ranked", "ranked_planes", "sorted_planes")
+    planes = lookup in ("ranked_planes", "sorted_planes")
+    rank_method = "ranked" if lookup == "ranked_planes" else "sorted"
+    # the non-plane lookups (inverse rulebooks, L3->L4 z-collapse)
+    # fall back to the matching elementwise method
+    elt_lookup = ("ranked" if lookup == "ranked_planes" else
+                  None if lookup == "sorted_planes" else lookup)
+    attach = (lambda l: l) if no_slot else sc.with_slot_map
     l0 = attach(sc.level_from_coords(coords, mask, sparse_shape))
     levels = [l0]
     down_rb = []
@@ -72,16 +82,24 @@ def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
                                   out_capacity=caps[min(i + 1, len(caps) - 1)])
         if i < len(DOWN_SPECS) - 1:  # L4 is never looked up in
             nxt = attach(nxt)
-        down_rb.append(sc.build_conv_index(levels[-1], nxt, k, s, p,
-                                           lookup=lookup))
+        if planes and k[2] == 3 and p[2] == 1:
+            down_rb.append(sc.build_conv_index_planes(
+                levels[-1], nxt, k, s, p, rank_method=rank_method))
+        else:
+            down_rb.append(sc.build_conv_index(levels[-1], nxt, k, s, p,
+                                               lookup=elt_lookup))
         levels.append(nxt)
-    sub_rb = tuple(sc.build_submanifold_index(l, lookup=lookup)
-                   for l in levels[:4])
+    if planes:
+        sub_rb = tuple(sc.build_submanifold_index_planes(
+            l, rank_method=rank_method) for l in levels[:4])
+    else:
+        sub_rb = tuple(sc.build_submanifold_index(l, lookup=elt_lookup)
+                       for l in levels[:4])
     inv_rb = (
         sc.build_inverse_index(levels[2], levels[1], *DOWN_SPECS[1],
-                               lookup=lookup),
+                               lookup=elt_lookup),
         sc.build_inverse_index(levels[1], levels[0], *DOWN_SPECS[0],
-                               lookup=lookup),
+                               lookup=elt_lookup),
     )
     return FrameGeometry(tuple(levels), sub_rb, tuple(down_rb), inv_rb)
 

@@ -40,6 +40,36 @@ def shard_batch(batch: dict, mesh: Mesh):
     return jax.device_put(jax.tree.map(jnp.asarray, arrays), sharding)
 
 
+def device_prefetch(batches, mesh: Mesh, depth: int = 2):
+    """Upload batches to device from a background thread, ``depth``
+    ahead of the consumer.  Through the axon tunnel the H2D transfer is
+    the train-step wall time (~3 s for an 11 MB f32 point batch);
+    overlapping it with the device's compute of the previous step takes
+    the transfer off the critical path whenever compute >= transfer
+    (and costs nothing otherwise)."""
+    import queue as _queue
+    import threading as _threading
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+
+    def run():
+        try:
+            for b in batches:
+                b.pop("meta", None)
+                q.put(shard_batch(b, mesh))
+            q.put(None)
+        except Exception as e:   # surface upload errors to the consumer
+            q.put(e)
+
+    _threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
 class Trainer:
     def __init__(self, cfg: PipelineCfg, model_dir: str,
                  mesh: Mesh | None = None, self_supervised: bool = True,
@@ -121,15 +151,13 @@ class Trainer:
         # device compute).  The only steady-state syncs are the
         # display_step metrics fetch and checkpoint saves.
         step_i = None
-        for batch in train_iter:
+        for sharded in device_prefetch(train_iter, self.mesh):
             if step_i is None:
                 step_i = int(state.step)   # one fetch to resume a leg
             if step_i >= total:
                 break
             warmup = (self.self_supervised and
                       step_i <= self.cfg.loss.warmup_steps)
-            batch.pop("meta", None)
-            sharded = shard_batch(batch, self.mesh)
             state, metrics = self._step_fn(warmup)(state, sharded)
             step_i += 1
             if step_i % cfg.display_step == 0 or step_i <= 1:

@@ -72,7 +72,12 @@ def base_cfg(middle: str, steps: int):
             # constant-speed prior.  skip=2 makes random_skip REAL
             # (with skip=1 the stride choice set is {1}): strides
             # {1,2} give super-1x magnitudes up to ~2.2 m.
-            skip=2, random_skip=True, pose_interp_ratio=0.5),
+            skip=2, random_skip=True, pose_interp_ratio=0.5,
+            # Transfer economics (r4): the axon tunnel uploads ~4 MB/s,
+            # so the f32 131k-point batch (11 MB) WAS the 3.1 s step
+            # wall time.  Proxy frames are ~50k points: halve the cap
+            # and int16-quantize (~3.9 mm rounding) -> ~4x less upload.
+            max_points=65536, quantize_transfer=True),
         train=dataclasses.replace(cfg.train, steps=steps,
                                   steps_per_eval=max(steps // 4, 250),
                                   display_step=50),

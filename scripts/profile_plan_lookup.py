@@ -69,7 +69,7 @@ def main():
     def vary(m, knob):
         return m.at[knob % m.shape[0]].set(False)
 
-    for lk in ("slot_map", "ranked"):
+    for lk in ("slot_map", "ranked", "ranked_planes", "sorted_planes"):
         timeit_chain(f"FULL build_geometry [{lk}]",
                      lambda c, m, knob, lk=lk: build_geometry(
                          c, vary(m, knob), SHAPE, caps, lookup=lk),
@@ -95,24 +95,32 @@ def main():
                      vary_l(l, knob).replace(slot_map=None),
                      lookup="ranked"),
                  (l0,), reps)
+    for rm in ("ranked", "sorted"):
+        timeit_chain(f"subm rulebook L0 [{rm}_planes]",
+                     lambda l, knob, rm=rm:
+                     sc.build_submanifold_index_planes(
+                         vary_l(l, knob).replace(slot_map=None),
+                         rank_method=rm),
+                     (l0,), reps)
 
-    # exactness on the real frame: ranked == slot_map, bit for bit
+    # exactness on the real frame: every method == slot_map, bit for bit
     ga = jax.jit(lambda c, m: build_geometry(c, m, SHAPE, caps))(
         coords, vmask)
-    gb = jax.jit(lambda c, m: build_geometry(c, m, SHAPE, caps,
-                                             lookup="ranked"))(
-        coords, vmask)
     worst = 0
-    for name in ("sub_rb", "down_rb", "inv_rb"):
-        for i, (a, b) in enumerate(zip(getattr(ga, name),
-                                       getattr(gb, name))):
-            va, vb = np.asarray(a.valid), np.asarray(b.valid)
-            dv = int((va != vb).sum())
-            di = int((np.asarray(a.idx)[va & vb]
-                      != np.asarray(b.idx)[va & vb]).sum())
-            worst = max(worst, dv, di)
-            print(f"parity {name}[{i}]: valid mismatches {dv}, "
-                  f"idx mismatches {di}", flush=True)
+    for lk in ("ranked", "ranked_planes", "sorted_planes"):
+        gb = jax.jit(lambda c, m, lk=lk: build_geometry(
+            c, m, SHAPE, caps, lookup=lk))(coords, vmask)
+        for name in ("sub_rb", "down_rb", "inv_rb"):
+            for i, (a, b) in enumerate(zip(getattr(ga, name),
+                                           getattr(gb, name))):
+                va, vb = np.asarray(a.valid), np.asarray(b.valid)
+                dv = int((va != vb).sum())
+                di = int((np.asarray(a.idx)[va & vb]
+                          != np.asarray(b.idx)[va & vb]).sum())
+                worst = max(worst, dv, di)
+                if dv or di:
+                    print(f"parity[{lk}] {name}[{i}]: valid mismatches "
+                          f"{dv}, idx mismatches {di}", flush=True)
     print("PARITY", "OK" if worst == 0 else f"FAIL ({worst})",
           flush=True)
 

@@ -299,3 +299,53 @@ def test_workload_configs_roundtrip():
     # round-trip stability
     from rslo_tpu.config.schema import PipelineCfg
     assert PipelineCfg.from_json(tr.to_json()) == tr
+
+
+def test_quantized_transfer_roundtrip(rng):
+    """int16 transfer quantization: sub-resolution round-trip error and
+    a collate that emits int16 + a prepare_example that dequantizes to
+    (near-)identical voxel features."""
+    import jax.numpy as jnp
+    from rslo_tpu.data.loader import (QUANT_POS_SCALE, QUANT_UNIT_SCALE,
+                                      quantize_points)
+    from rslo_tpu.data.prepare import dequantize_points
+    pts = rng.normal(size=(200, 7)).astype(np.float32)
+    pts[:, :3] *= 30.0
+    pts[:, 3:] = np.clip(pts[:, 3:], -1, 1)
+    q = quantize_points(pts)
+    assert q.dtype == np.int16
+    back = np.asarray(dequantize_points(jnp.asarray(q)))
+    assert np.abs(back[:, :3] - pts[:, :3]).max() <= QUANT_POS_SCALE
+    assert np.abs(back[:, 3:] - pts[:, 3:]).max() <= QUANT_UNIT_SCALE
+
+    cfg = DataCfg(max_points=128, quantize_transfer=True)
+    samples = [{"points": [pts[:100], pts[100:]],
+                "odometry": np.zeros((1, 7), np.float32),
+                "seq": 0, "frames": (0, 1)}]
+    batch = collate(samples, cfg)
+    assert batch["points"].dtype == np.int16
+
+    # dequantized points produce the same voxel set and ~same features
+    from rslo_tpu.data.prepare import prepare_example
+    from rslo_tpu.ops.voxelize import VoxelizerConfig
+    vcfg = VoxelizerConfig(point_cloud_range=(-40, -40, -3, 40, 40, 5),
+                           voxel_size=(0.5, 0.5, 0.5), max_points=10,
+                           max_voxels=256)
+    exq = prepare_example(jnp.asarray(batch["points"][0]),
+                          jnp.asarray(batch["point_mask"][0]), vcfg,
+                          mean_mode=True)
+    pf = np.zeros((2, 128, 7), np.float32)
+    pf[0, :100], pf[1, :100] = pts[:100], pts[100:]
+    exf = prepare_example(jnp.asarray(pf),
+                          jnp.asarray(batch["point_mask"][0]), vcfg,
+                          mean_mode=True)
+    # voxel coords may differ only for points within quantization
+    # distance of a cell boundary; at 0.5 m cells vs 3.9 mm rounding,
+    # require near-total agreement
+    ca = np.asarray(exq["coords"])
+    cb = np.asarray(exf["coords"])
+    same = (ca == cb).all(-1)
+    assert same.mean() > 0.98
+    fa = np.asarray(exq["voxel_features"])[same]
+    fb = np.asarray(exf["voxel_features"])[same]
+    np.testing.assert_allclose(fa, fb, atol=5e-3)

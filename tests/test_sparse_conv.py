@@ -302,3 +302,87 @@ def test_ranked_lookup_stray_guard_and_validation(rng, monkeypatch):
     assert np.asarray(f).all()
     with pytest.raises(ValueError, match="plan_lookup"):
         sc._dispatch_lookup(level, q, valid, "rankd")
+
+
+def test_planes_builders_match_generic(rng):
+    """Plane-derived rulebooks (one rank lookup per (dz,dy) plane,
+    x-taps from id adjacency) are bit-equal to the generic builders
+    for both rank methods, on random levels."""
+    for trial in range(3):
+        level, _ = random_level(rng, n_active=40, cap=64)
+        level_sm = sc.with_slot_map(level)
+        a = sc.build_submanifold_index(level_sm)
+        out = sc.downsample_level(level, (3, 3, 3), (2, 2, 2),
+                                  (1, 1, 1), out_capacity=48)
+        ad = sc.build_conv_index(level_sm, out, (3, 3, 3), (2, 2, 2),
+                                 (1, 1, 1))
+        for rm in ("ranked", "sorted"):
+            b = sc.build_submanifold_index_planes(level, rank_method=rm)
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid),
+                                          err_msg=f"subm/{rm}")
+            va = np.asarray(a.valid)
+            np.testing.assert_array_equal(np.asarray(a.idx)[va],
+                                          np.asarray(b.idx)[va],
+                                          err_msg=f"subm/{rm}")
+            bd = sc.build_conv_index_planes(level, out, (3, 3, 3),
+                                            (2, 2, 2), (1, 1, 1),
+                                            rank_method=rm)
+            np.testing.assert_array_equal(np.asarray(ad.valid),
+                                          np.asarray(bd.valid),
+                                          err_msg=f"down/{rm}")
+            vd = np.asarray(ad.valid)
+            np.testing.assert_array_equal(np.asarray(ad.idx)[vd],
+                                          np.asarray(bd.idx)[vd],
+                                          err_msg=f"down/{rm}")
+
+
+def test_planes_row_wrap_no_false_positive():
+    """The x-adjacency derivation must NOT match across row boundaries:
+    ids (z, y, nx-1) and (z, y+1, 0) are consecutive in linearized space
+    but are not x-neighbors — the x-bound masks reject them."""
+    shape = (3, 4, 5)
+    nz, ny, nx = shape
+    coords = np.array([[1, 1, nx - 1],   # row end
+                       [1, 2, 0],        # next row start: id = prev + 1
+                       [1, 3, nx - 1],
+                       [2, 0, 0]],       # plane wrap: also id-adjacent
+                      np.int32)
+    cap = 8
+    pad = np.zeros((cap - len(coords), 3), np.int32)
+    mask = np.zeros(cap, bool)
+    mask[:len(coords)] = True
+    level = sc.level_from_coords(
+        jnp.asarray(np.concatenate([coords, pad])), jnp.asarray(mask),
+        shape)
+    a = sc.build_submanifold_index(sc.with_slot_map(level))
+    for rm in ("ranked", "sorted"):
+        b = sc.build_submanifold_index_planes(level, rank_method=rm)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid), err_msg=rm)
+        va = np.asarray(a.valid)
+        np.testing.assert_array_equal(np.asarray(a.idx)[va],
+                                      np.asarray(b.idx)[va], err_msg=rm)
+
+
+def test_geometry_planes_matches_slot_map(rng):
+    """Full build_geometry with the plane-derived lookups reproduces the
+    slot-map build bit-exactly (all rulebooks, all levels)."""
+    from rslo_tpu.models.middle import build_geometry
+    shape = (25, 16, 16)
+    level, _ = random_level(rng, n_active=160, cap=192, shape=shape)
+    caps = (192, 128, 96, 64)
+    ga = build_geometry(level.coords, level.mask, shape, caps)
+    for lk in ("ranked_planes", "sorted_planes"):
+        gb = build_geometry(level.coords, level.mask, shape, caps,
+                            lookup=lk)
+        for name in ("sub_rb", "down_rb", "inv_rb"):
+            for i, (a, b) in enumerate(zip(getattr(ga, name),
+                                           getattr(gb, name))):
+                np.testing.assert_array_equal(
+                    np.asarray(a.valid), np.asarray(b.valid),
+                    err_msg=f"{lk}/{name}[{i}]")
+                m = np.asarray(a.valid)
+                np.testing.assert_array_equal(
+                    np.asarray(a.idx)[m], np.asarray(b.idx)[m],
+                    err_msg=f"{lk}/{name}[{i}]")
