@@ -126,6 +126,12 @@ def _model_dir(middle, supervised, tag=""):
 def cmd_train(args):
     from rslo_tpu.cli import main
     cfg = base_cfg(args.middle, args.steps)
+    if getattr(args, "no_aug", False):
+        # controlled-aug ablation (r4 rotation-collapse discriminator):
+        # consecutive windows, no flip, no pose interpolation
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, skip=1, random_skip=False, pose_interp_ratio=0.0,
+            random_flip_y=False))
     if args.remat is not None:
         cfg = cfg.replace(middle=dataclasses.replace(
             cfg.middle, remat=bool(args.remat)))
@@ -242,6 +248,9 @@ def main():
     t.add_argument("--tag", default="",
                    help="model-dir suffix for config experiments")
     t.add_argument("--leg_until", type=int, default=None)
+    t.add_argument("--no_aug", action="store_true",
+                   help="skip=1, no flip/interp/random-skip (rotation-"
+                        "collapse discriminator control)")
     t.add_argument("--init_from", default=None,
                    help="model dir to warm-start from (param surgery)")
     t.set_defaults(fn=cmd_train)
