@@ -67,11 +67,13 @@ def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
     """
     no_slot = lookup in ("ranked", "ranked_planes", "sorted_planes")
     planes = lookup in ("ranked_planes", "sorted_planes")
+    slot_planes = lookup == "slot_planes"
     rank_method = "ranked" if lookup == "ranked_planes" else "sorted"
     # the non-plane lookups (inverse rulebooks, L3->L4 z-collapse)
     # fall back to the matching elementwise method
     elt_lookup = ("ranked" if lookup == "ranked_planes" else
-                  None if lookup == "sorted_planes" else lookup)
+                  None if lookup in ("sorted_planes", "slot_planes")
+                  else lookup)
     attach = (lambda l: l) if no_slot else sc.with_slot_map
     l0 = attach(sc.level_from_coords(coords, mask, sparse_shape))
     levels = [l0]
@@ -85,6 +87,9 @@ def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
         if planes and k[2] == 3 and p[2] == 1:
             down_rb.append(sc.build_conv_index_planes(
                 levels[-1], nxt, k, s, p, rank_method=rank_method))
+        elif slot_planes and k[2] == 3 and p[2] == 1:
+            down_rb.append(sc.build_conv_index_slot_planes(
+                levels[-1], nxt, k, s, p))
         else:
             down_rb.append(sc.build_conv_index(levels[-1], nxt, k, s, p,
                                                lookup=elt_lookup))
@@ -92,6 +97,9 @@ def build_geometry(coords: jax.Array, mask: jax.Array, sparse_shape,
     if planes:
         sub_rb = tuple(sc.build_submanifold_index_planes(
             l, rank_method=rank_method) for l in levels[:4])
+    elif slot_planes:
+        sub_rb = tuple(sc.build_submanifold_index_slot_planes(l)
+                       for l in levels[:4])
     else:
         sub_rb = tuple(sc.build_submanifold_index(l, lookup=elt_lookup)
                        for l in levels[:4])

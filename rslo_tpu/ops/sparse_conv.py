@@ -260,7 +260,8 @@ def _lookup_ranked(level: SparseLevel, query_ids: jax.Array,
     return jnp.minimum(idx_f, Vin - 1)[:n].reshape(shape), found_out
 
 
-LOOKUP_METHODS = ("slot_map", "ranked", "ranked_planes", "sorted_planes")
+LOOKUP_METHODS = ("slot_map", "ranked", "ranked_planes", "sorted_planes",
+                  "slot_planes")
 
 
 def _dispatch_lookup(level: SparseLevel, q: jax.Array, v: jax.Array,
@@ -318,6 +319,89 @@ def _derive_x_taps(level: SparseLevel, q: jax.Array, vq: jax.Array,
     ok = jnp.stack([ok_m, found_c, ok_p], axis=-1)
     V, P = q.shape
     return ConvIndex(idx.reshape(V, 3 * P), ok.reshape(V, 3 * P))
+
+
+def _slot_segments(level: SparseLevel, q_c: jax.Array) -> jax.Array:
+    """Gather the 4-entry slot-map segments covering ids
+    [q_c - 1, q_c + 2) for each (row, plane) center query.
+
+    One contiguous 4-entry slice per plane instead of 3 random
+    singleton gathers — same slot-map semantics (exact), 3x fewer HBM
+    transactions.  Returns (V, P, 3) slot+1 values for the (m, c, p)
+    x-offset taps (entries whose id falls outside the segment due to
+    edge clipping are garbage — callers mask them with the x-bound /
+    in-bounds validity they already compute)."""
+    assert level.slot_map is not None, "slot_planes needs a slot map"
+    V, P = q_c.shape
+    T = level.sentinel            # slot_map has T + 1 entries
+    start = jnp.clip(q_c.reshape(-1) - 1, 0, T - 3)   # (V*P,)
+    dn = jax.lax.GatherDimensionNumbers(offset_dims=(1,),
+                                        collapsed_slice_dims=(),
+                                        start_index_map=(0,))
+    seg = jax.lax.gather(level.slot_map, start[:, None], dn,
+                         slice_sizes=(4,),
+                         mode=jax.lax.GatherScatterMode.CLIP)  # (VP, 4)
+    # position of the m tap (id q_c - 1) inside its segment: normally 0,
+    # shifted at the clipped edges
+    o = q_c.reshape(-1) - 1 - start                   # (V*P,)
+    cols = jnp.clip(o[:, None] + jnp.arange(3, dtype=jnp.int32), 0, 3)
+    picked = jnp.take_along_axis(seg, cols, axis=1)   # (VP, 3)
+    # a clipped column may alias a neighboring id's slot; kill it here
+    ok = (o[:, None] + jnp.arange(3, dtype=jnp.int32)) == cols
+    picked = jnp.where(ok, picked, 0)
+    return picked.reshape(V, P, 3)
+
+
+def _slot_planes_index(level: SparseLevel, q_c: jax.Array,
+                       vq: jax.Array, xm_ok: jax.Array,
+                       xp_ok: jax.Array) -> ConvIndex:
+    slot3 = _slot_segments(level, q_c)                # (V, P, 3)
+    ok3 = jnp.stack([vq & xm_ok, vq, vq & xp_ok], axis=-1) & (slot3 > 0)
+    idx3 = jnp.maximum(slot3 - 1, 0)
+    V, P, _ = slot3.shape
+    return ConvIndex(idx3.reshape(V, 3 * P).astype(jnp.int32),
+                     ok3.reshape(V, 3 * P))
+
+
+def build_submanifold_index_slot_planes(level: SparseLevel,
+                                        kernel=(3, 3, 3)) -> ConvIndex:
+    """:func:`build_submanifold_index` via per-plane 4-entry slot-map
+    slice gathers (see :func:`_slot_segments`).  Bit-equal to the
+    generic slot-map builder."""
+    kz, ky, kx = kernel
+    assert kx == 3
+    offs = _kernel_offsets(kernel).reshape(kz * ky, kx, 3)[:, 1, :]
+    half = np.array([k // 2 for k in kernel])
+    nz, ny, nx = level.shape
+    nb = level.coords[:, None, :] + jnp.asarray(offs - half, jnp.int32)
+    vq = ((nb[..., 0] >= 0) & (nb[..., 0] < nz) &
+          (nb[..., 1] >= 0) & (nb[..., 1] < ny)) & level.mask[:, None]
+    q = jnp.where(vq, linearize(nb, level.shape), level.sentinel)
+    xm_ok = (level.coords[:, 2:3] >= 1)
+    xp_ok = (level.coords[:, 2:3] + 1 < nx)
+    return _slot_planes_index(level, q, vq, xm_ok, xp_ok)
+
+
+def build_conv_index_slot_planes(in_level: SparseLevel,
+                                 out_level: SparseLevel,
+                                 kernel, stride, padding) -> ConvIndex:
+    """Strided-conv rulebook via per-plane slot-map slice gathers."""
+    kernel = np.asarray(kernel)
+    stride = np.asarray(stride)
+    padding = np.asarray(padding)
+    assert kernel[2] == 3 and padding[2] == 1
+    kz, ky = int(kernel[0]), int(kernel[1])
+    offs = _kernel_offsets(kernel).reshape(kz * ky, 3, 3)[:, 1, :]
+    nz, ny, nx = in_level.shape
+    src = out_level.coords[:, None, :] * jnp.asarray(stride, jnp.int32) \
+        + jnp.asarray(offs - padding, jnp.int32)
+    vq = ((src[..., 0] >= 0) & (src[..., 0] < nz) &
+          (src[..., 1] >= 0) & (src[..., 1] < ny)) & \
+        out_level.mask[:, None]
+    q = jnp.where(vq, linearize(src, in_level.shape), in_level.sentinel)
+    xm_ok = src[:, :, 2] - 1 >= 0
+    xp_ok = src[:, :, 2] + 1 < nx
+    return _slot_planes_index(in_level, q, vq, xm_ok, xp_ok)
 
 
 def build_submanifold_index_planes(level: SparseLevel,

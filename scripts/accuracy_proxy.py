@@ -135,6 +135,9 @@ def cmd_train(args):
     if args.remat is not None:
         cfg = cfg.replace(middle=dataclasses.replace(
             cfg.middle, remat=bool(args.remat)))
+    if getattr(args, "steps_per_eval", None):
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, steps_per_eval=args.steps_per_eval))
     if args.engine:
         cfg = cfg.replace(middle=dataclasses.replace(
             cfg.middle, engine=args.engine))
@@ -248,6 +251,9 @@ def main():
     t.add_argument("--tag", default="",
                    help="model-dir suffix for config experiments")
     t.add_argument("--leg_until", type=int, default=None)
+    t.add_argument("--steps_per_eval", type=int, default=None,
+                   help="periodic-eval interval override (evals are "
+                        "cheap post-quantization: ~20 s)")
     t.add_argument("--no_aug", action="store_true",
                    help="skip=1, no flip/interp/random-skip (rotation-"
                         "collapse discriminator control)")

@@ -69,7 +69,7 @@ def main():
     def vary(m, knob):
         return m.at[knob % m.shape[0]].set(False)
 
-    for lk in ("slot_map", "ranked", "ranked_planes", "sorted_planes"):
+    for lk in ("slot_map", "slot_planes", "ranked", "ranked_planes", "sorted_planes"):
         timeit_chain(f"FULL build_geometry [{lk}]",
                      lambda c, m, knob, lk=lk: build_geometry(
                          c, vary(m, knob), SHAPE, caps, lookup=lk),
@@ -102,12 +102,16 @@ def main():
                          vary_l(l, knob).replace(slot_map=None),
                          rank_method=rm),
                      (l0,), reps)
+    timeit_chain("subm rulebook L0 [slot_planes]",
+                 lambda l, knob: sc.build_submanifold_index_slot_planes(
+                     vary_l(l, knob)),
+                 (l0,), reps)
 
     # exactness on the real frame: every method == slot_map, bit for bit
     ga = jax.jit(lambda c, m: build_geometry(c, m, SHAPE, caps))(
         coords, vmask)
     worst = 0
-    for lk in ("ranked", "ranked_planes", "sorted_planes"):
+    for lk in ("slot_planes", "ranked", "ranked_planes", "sorted_planes"):
         gb = jax.jit(lambda c, m, lk=lk: build_geometry(
             c, m, SHAPE, caps, lookup=lk))(coords, vmask)
         for name in ("sub_rb", "down_rb", "inv_rb"):

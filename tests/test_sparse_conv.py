@@ -316,8 +316,12 @@ def test_planes_builders_match_generic(rng):
                                   (1, 1, 1), out_capacity=48)
         ad = sc.build_conv_index(level_sm, out, (3, 3, 3), (2, 2, 2),
                                  (1, 1, 1))
-        for rm in ("ranked", "sorted"):
-            b = sc.build_submanifold_index_planes(level, rank_method=rm)
+        for rm in ("ranked", "sorted", "slot"):
+            if rm == "slot":
+                b = sc.build_submanifold_index_slot_planes(level_sm)
+            else:
+                b = sc.build_submanifold_index_planes(level,
+                                                      rank_method=rm)
             np.testing.assert_array_equal(np.asarray(a.valid),
                                           np.asarray(b.valid),
                                           err_msg=f"subm/{rm}")
@@ -325,9 +329,13 @@ def test_planes_builders_match_generic(rng):
             np.testing.assert_array_equal(np.asarray(a.idx)[va],
                                           np.asarray(b.idx)[va],
                                           err_msg=f"subm/{rm}")
-            bd = sc.build_conv_index_planes(level, out, (3, 3, 3),
-                                            (2, 2, 2), (1, 1, 1),
-                                            rank_method=rm)
+            if rm == "slot":
+                bd = sc.build_conv_index_slot_planes(
+                    level_sm, out, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+            else:
+                bd = sc.build_conv_index_planes(level, out, (3, 3, 3),
+                                                (2, 2, 2), (1, 1, 1),
+                                                rank_method=rm)
             np.testing.assert_array_equal(np.asarray(ad.valid),
                                           np.asarray(bd.valid),
                                           err_msg=f"down/{rm}")
@@ -356,8 +364,12 @@ def test_planes_row_wrap_no_false_positive():
         jnp.asarray(np.concatenate([coords, pad])), jnp.asarray(mask),
         shape)
     a = sc.build_submanifold_index(sc.with_slot_map(level))
-    for rm in ("ranked", "sorted"):
-        b = sc.build_submanifold_index_planes(level, rank_method=rm)
+    for rm in ("ranked", "sorted", "slot"):
+        if rm == "slot":
+            b = sc.build_submanifold_index_slot_planes(
+                sc.with_slot_map(level))
+        else:
+            b = sc.build_submanifold_index_planes(level, rank_method=rm)
         np.testing.assert_array_equal(np.asarray(a.valid),
                                       np.asarray(b.valid), err_msg=rm)
         va = np.asarray(a.valid)
@@ -373,7 +385,7 @@ def test_geometry_planes_matches_slot_map(rng):
     level, _ = random_level(rng, n_active=160, cap=192, shape=shape)
     caps = (192, 128, 96, 64)
     ga = build_geometry(level.coords, level.mask, shape, caps)
-    for lk in ("ranked_planes", "sorted_planes"):
+    for lk in ("ranked_planes", "sorted_planes", "slot_planes"):
         gb = build_geometry(level.coords, level.mask, shape, caps,
                             lookup=lk)
         for name in ("sub_rb", "down_rb", "inv_rb"):
