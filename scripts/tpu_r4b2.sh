@@ -28,9 +28,6 @@ step() {
   sleep 15
 }
 
-step 1800 /tmp/r4_gather.log python -u scripts/probe_gather.py
-step 2400 /tmp/r4_plan_lookup2.log python -u scripts/profile_plan_lookup.py
-
 # --- 1: pillar self-sup 30k --------------------------------------------
 for S in 10000 20000 30000; do
   [ -e /tmp/aug_stop ] && break
@@ -66,6 +63,10 @@ step 2400 /tmp/r4_sparse_eval.log python -u scripts/accuracy_proxy.py \
   eval --middle SparseMiddleCov --engine band --tag r4
 step 2400 /tmp/r4_sparse_eval_best.log python -u scripts/accuracy_proxy.py \
   eval --middle SparseMiddleCov --engine band --tag r4 --ckpt_step best
+
+# --- perf block --------------------------------------------------------
+step 1800 /tmp/r4_gather.log python -u scripts/probe_gather.py
+step 2400 /tmp/r4_plan_lookup2.log python -u scripts/profile_plan_lookup.py
 
 python scripts/accuracy_proxy.py report > /tmp/proxy_report_r4.log 2>&1
 step 2400 /tmp/bench_r4.log env RSLO_BENCH_STREAMING=1 python -u bench.py
