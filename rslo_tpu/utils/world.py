@@ -299,7 +299,15 @@ def synth_trajectory(seed: int = 0, n_frames: int = 200,
     2).  Curve-pattern yaw rate is scaled by v/speed in varied mode
     (constant curvature, Ackermann-like), so slow segments turn
     slowly in place rather than spinning.  "varied" only applies to
-    pattern "curve"; loops keep the closure-timed yaw drive."""
+    pattern "curve"; loops keep the closure-timed yaw drive.
+
+    "urban" (world v3): varied's speed profile with the UNSCALED yaw
+    drive.  Measured on v2 stores (r4): the yaw-prop-to-v coupling
+    halved train yaw magnitudes (0.47-0.58 vs 1.22 deg/frame mean) and
+    made |yaw| predictable from speed (corr up to +0.72) — rotation
+    SNR collapsed and supervised 3k-step controls could not learn yaw
+    at all (BENCH_NOTES r4).  Decoupling restores v1's rotation signal
+    while keeping the translation-magnitude diversity."""
     rng = np.random.default_rng(seed + 17)
     yaw = rng.uniform(0, 2 * np.pi)
     pos = np.array([0.0, 0.0, 0.0])
@@ -310,7 +318,8 @@ def synth_trajectory(seed: int = 0, n_frames: int = 200,
         circ_frames = int(n_frames * 0.8)
         yaw_rate0 = 2 * np.pi / (circ_frames * dt)
     v = speed
-    varied = speed_profile == "varied" and pattern == "curve"
+    varied = speed_profile in ("varied", "urban") and pattern == "curve"
+    scale_yaw = speed_profile == "varied"
     v_tgt, next_switch = speed, 0
     for i in range(n_frames):
         if pattern == "loop":
@@ -328,7 +337,8 @@ def synth_trajectory(seed: int = 0, n_frames: int = 200,
                 next_switch = i + int(rng.integers(30, 90))
             dv = np.clip(v_tgt - v, -2.0 * dt, 2.0 * dt)
             v = max(v + dv + rng.normal(0, 0.05), 0.0)
-            yr = yr * (v / speed)
+            if scale_yaw:
+                yr = yr * (v / speed)
         else:
             v = np.clip(v + rng.normal(0, 0.15), speed * 0.5,
                         speed * 1.5)

@@ -236,7 +236,7 @@ def main():
                    help="comma list; render only these (parallel use)")
     b.add_argument("--h5_only", action="store_true")
     b.add_argument("--profile", default="walk",
-                   choices=("walk", "varied"),
+                   choices=("walk", "varied", "urban"),
                    help="speed profile; 'varied' = urban-drive "
                         "magnitude diversity (use a fresh "
                         "RSLO_PROXY_ROOT so v1 artifacts survive)")
