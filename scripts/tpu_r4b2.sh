@@ -43,9 +43,14 @@ step 2400 /tmp/r4_v3sup_eval.log python -u scripts/accuracy_proxy.py \
 step 2400 /tmp/r4_v3sup_diag.log python -u scripts/diag_preds.py \
   PillarMiddleCov 24 --supervised --tag=v3
 
-# --- 2: pillar self-sup 30k -------------------------------------------
+# --- 2: pillar self-sup 30k (time-gated: skip later legs when the
+# --- round budget runs short; driver round ends ~17:30) ---------------
 for S in 10000 20000 30000; do
   [ -e /tmp/aug_stop ] && break
+  if [ "$S" != "10000" ] && [ "$(date +%H%M)" -gt 1500 ]; then
+    echo "$(date +%H:%M:%S) time gate: stopping pillar legs at $S"       >> /tmp/tpu_r4b2.log
+    break
+  fi
   step 4200 /tmp/r4_leg$S.log python -u scripts/accuracy_proxy.py \
     train --middle PillarMiddleCov --steps 30000 --leg_until $S \
     --remat 0 --tag r4 --steps_per_eval 1500
@@ -66,9 +71,13 @@ step 3000 /tmp/r4_eval_loops.log python -u scripts/accuracy_proxy.py \
 step 2400 /tmp/r4_diag.log python -u scripts/diag_preds.py \
   PillarMiddleCov 24 --tag=r4
 
-# --- 4: sparse (band) to 9000 ------------------------------------------
+# --- 4: sparse (band) to 9000 (second leg time-gated) ------------------
 for S in 4500 9000; do
   [ -e /tmp/sparse_stop ] && break
+  if [ "$S" = "9000" ] && [ "$(date +%H%M)" -gt 1530 ]; then
+    echo "$(date +%H:%M:%S) time gate: stopping sparse legs at $S"       >> /tmp/tpu_r4b2.log
+    break
+  fi
   step 4200 /tmp/r4_sparse_leg$S.log python -u scripts/accuracy_proxy.py \
     train --middle SparseMiddleCov --steps 9000 --leg_until $S \
     --engine band --tag r4 --steps_per_eval 1500
