@@ -132,6 +132,10 @@ def cmd_train(args):
         cfg = cfg.replace(data=dataclasses.replace(
             cfg.data, skip=1, random_skip=False, pose_interp_ratio=0.0,
             random_flip_y=False))
+    if getattr(args, "no_quantize", False):
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, quantize_transfer=False,
+            max_points=131072))
     if args.remat is not None:
         cfg = cfg.replace(middle=dataclasses.replace(
             cfg.middle, remat=bool(args.remat)))
@@ -254,6 +258,9 @@ def main():
     t.add_argument("--steps_per_eval", type=int, default=None,
                    help="periodic-eval interval override (evals are "
                         "cheap post-quantization: ~20 s)")
+    t.add_argument("--no_quantize", action="store_true",
+                   help="f32 transfer + 131072-pt cap (r2-equivalent "
+                        "input path; quantization-suspect isolation)")
     t.add_argument("--no_aug", action="store_true",
                    help="skip=1, no flip/interp/random-skip (rotation-"
                         "collapse discriminator control)")
