@@ -312,17 +312,21 @@ def synth_trajectory(seed: int = 0, n_frames: int = 200,
     yaw = rng.uniform(0, 2 * np.pi)
     pos = np.array([0.0, 0.0, 0.0])
     poses = []
-    if pattern == "loop":
+    if pattern in ("loop", "loop_cw"):
         # constant-ish turn closing a circle over ~80% of the frames,
         # then continue past the start for revisit overlap
+        # ("loop_cw": clockwise — the v4 seqset trains on sustained
+        # turning in BOTH directions, see accuracy_proxy.SEQS)
         circ_frames = int(n_frames * 0.8)
         yaw_rate0 = 2 * np.pi / (circ_frames * dt)
+        if pattern == "loop_cw":
+            yaw_rate0 = -yaw_rate0
     v = speed
     varied = speed_profile in ("varied", "urban") and pattern == "curve"
     scale_yaw = speed_profile == "varied"
     v_tgt, next_switch = speed, 0
     for i in range(n_frames):
-        if pattern == "loop":
+        if pattern in ("loop", "loop_cw"):
             yr = yaw_rate0 * (1 + 0.05 * np.sin(i * 0.05))
         else:
             yr = 0.35 * np.sin(i * 0.02 + rng.uniform(-0.1, 0.1)) + \

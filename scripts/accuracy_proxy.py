@@ -49,9 +49,22 @@ H5 = ROOT / "proxy.h5"
 
 # seq id -> (frames, pattern, speed m/s).  Lengths sized so the
 # standard KITTI 100-300 m segments fit (0.8-1.1 m/frame).
-SEQS = {0: (350, "curve", 8.0), 1: (350, "curve", 11.0),
-        7: (500, "loop", 8.0)}
-TRAIN_SEQS = (0, 1)
+#
+# RSLO_PROXY_SEQSET=v4 adds LOOP-pattern TRAINING sequences: r4's
+# diag_yaw_head showed rotation IS learned on the oscillating-curve
+# train windows (slope 0.64) but shrinks ~5x on the val loop —
+# sustained one-direction turning is out of distribution.  v4 puts
+# sustained turning (both directions: seq 2 ccw, seq 3 cw via the
+# mirrored world trick below) in training.
+if os.environ.get("RSLO_PROXY_SEQSET") == "v4":
+    SEQS = {0: (350, "curve", 8.0), 1: (350, "curve", 11.0),
+            2: (400, "loop", 9.5), 3: (400, "loop_cw", 7.0),
+            7: (500, "loop", 8.0)}
+    TRAIN_SEQS = (0, 1, 2, 3)
+else:
+    SEQS = {0: (350, "curve", 8.0), 1: (350, "curve", 11.0),
+            7: (500, "loop", 8.0)}
+    TRAIN_SEQS = (0, 1)
 VAL_SEQS = (7,)
 
 
