@@ -92,6 +92,11 @@ class MiddleCfg:
     # MXU at full rate (fp32 accumulation either way).  Precision tests
     # pin "f32" to compare engines at float-accumulation order.
     conv_dtype: str = "bf16"
+    # plane-grouped slice-gather conv apply for 27-tap rulebooks
+    # (ops/sparse_conv.py::sparse_conv_apply_planes): bit-equal, one
+    # contiguous 4-row gather per (dz, dy) plane instead of 3 singleton
+    # row gathers.
+    plane_apply: bool = False
 
 
 @dataclass(frozen=True)

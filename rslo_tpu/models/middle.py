@@ -224,6 +224,7 @@ class SpConv(nn.Module):
     features: int
     taps: int  # kernel volume
     dtype: str = "bf16"   # conv compute dtype (fp32 accumulation)
+    plane_apply: bool = False  # plane-grouped slice gathers (27-tap only)
 
     @nn.compact
     def __call__(self, feats, op, out_mask=None):
@@ -236,6 +237,12 @@ class SpConv(nn.Module):
         if isinstance(op, sc.ConvIndex):
             # bf16 by default like the band/pillar paths: the row gather
             # is bandwidth-bound, so f32 rows cost 2x the bytes.
+            if self.plane_apply and self.taps == 27:
+                # bit-equal 3x-fewer-transactions path (see
+                # sparse_conv_apply_planes; (3,1,1) z-collapse excluded)
+                return sc.sparse_conv_apply_planes(feats, op, w, b,
+                                                   out_mask,
+                                                   compute_dtype=cdt)
             return sc.sparse_conv_apply(feats, op, w, b, out_mask,
                                         compute_dtype=cdt)
         if isinstance(op, bc.BandIndex):
@@ -331,7 +338,8 @@ class SparseMiddleCov(nn.Module):
         cdt = self.cfg.conv_dtype
 
         def conv(feats, taps):
-            return SpConv(feats, taps, cdt)
+            return SpConv(feats, taps, cdt,
+                          plane_apply=self.cfg.plane_apply)
 
         def block(x, lvl_i, feats, n_layers, train):
             for _ in range(n_layers):

@@ -655,6 +655,58 @@ def sparse_conv_apply(features: jax.Array, rulebook: ConvIndex,
     return out
 
 
+def sparse_conv_apply_planes(features: jax.Array, rulebook: ConvIndex,
+                             weights: jax.Array,
+                             bias: jax.Array | None = None,
+                             out_mask: jax.Array | None = None,
+                             compute_dtype=jnp.float32) -> jax.Array:
+    """:func:`sparse_conv_apply` for kx==3 rulebooks via plane-grouped
+    SLICE gathers: one contiguous (4, Cin) row-window per (out row,
+    (dz, dy) plane) instead of 3 singleton row gathers — 3x fewer HBM
+    transactions on the gather-latency-bound TPU path.
+
+    Exactness: levels are sorted by linearized id with x fastest, so a
+    plane's valid x-taps (consecutive ids in one (z, y) scanline, or
+    the <=2 consecutive coarse ids of an inverse conv) occupy a row
+    window of <=3; a 4-row segment starting at the minimum valid row
+    covers them all.  Taps outside the window (impossible for
+    conforming kx==3 plans — z/y neighbors are ny*nx/nx ids away and
+    land in other planes) are dropped like invalid taps.  Bit-equal to
+    sparse_conv_apply (gather commutes with the elementwise cast).
+    NOT for the (3,1,1) z-collapse rulebook: its taps differ in z and
+    are never row-adjacent.
+    """
+    V, K = rulebook.idx.shape
+    assert K % 3 == 0, "plane apply needs x-minor (P, 3) tap grouping"
+    P = K // 3
+    Vin, Cin = features.shape
+    Cout = weights.shape[-1]
+    f = features.astype(compute_dtype)
+    idx = rulebook.idx.reshape(V, P, 3)
+    valid = rulebook.valid.reshape(V, P, 3)
+    s = jnp.min(jnp.where(valid, idx, jnp.int32(Vin)), axis=-1)
+    s = jnp.clip(s, 0, max(Vin - 4, 0))                    # (V, P)
+    cols = idx - s[..., None]
+    ok = valid & (cols >= 0) & (cols < 4)
+    colsc = jnp.clip(cols, 0, 3).reshape(-1, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    seg = jax.lax.gather(f, s.reshape(-1)[:, None], dn,
+                         slice_sizes=(4, Cin),
+                         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    g = jnp.take_along_axis(seg, colsc[:, :, None], axis=1)
+    g = jnp.where(ok.reshape(-1, 3)[:, :, None], g, 0)
+    g = g.reshape(V, K * Cin)
+    w = weights.reshape(K * Cin, Cout).astype(compute_dtype)
+    out = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    if out_mask is not None:
+        out = jnp.where(out_mask[:, None], out, 0.0)
+    return out
+
+
 def to_dense(features: jax.Array, level: SparseLevel) -> jax.Array:
     """Scatter (V, C) features into a dense (nz, ny, nx, C) grid —
     the analog of spconv's ``.dense()`` (channels-last here)."""

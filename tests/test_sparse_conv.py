@@ -398,3 +398,62 @@ def test_geometry_planes_matches_slot_map(rng):
                 np.testing.assert_array_equal(
                     np.asarray(a.idx)[m], np.asarray(b.idx)[m],
                     err_msg=f"{lk}/{name}[{i}]")
+
+
+def test_plane_apply_matches_row_apply(rng):
+    """sparse_conv_apply_planes must be bit-equal to sparse_conv_apply
+    on every kx==3 rulebook kind (subm, strided down, inverse) — the
+    plane window property (valid x-taps within 4 sorted rows) holds by
+    construction; this also exercises the clipped edges."""
+    level, feats = random_level(rng, n_active=40, cap=64)
+    level = sc.with_slot_map(level)
+    w27 = jnp.asarray(rng.normal(size=(27, 4, 5)).astype(np.float32))
+    coarse = sc.downsample_level(level, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                 out_capacity=32)
+    coarse = sc.with_slot_map(coarse)
+    cfeats = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+    cfeats = jnp.where(coarse.mask[:, None], cfeats, 0)
+    books = [
+        (sc.build_submanifold_index(level), feats, level.mask),
+        (sc.build_conv_index(level, coarse, (3, 3, 3), (2, 2, 2),
+                             (1, 1, 1)), feats, coarse.mask),
+        (sc.build_inverse_index(coarse, level, (3, 3, 3), (2, 2, 2),
+                                (1, 1, 1)), cfeats, level.mask),
+    ]
+    for rb, f, om in books:
+        for cdt in (jnp.float32, jnp.bfloat16):
+            a = np.asarray(sc.sparse_conv_apply(
+                f, rb, w27, out_mask=om, compute_dtype=cdt))
+            b = np.asarray(sc.sparse_conv_apply_planes(
+                f, rb, w27, out_mask=om, compute_dtype=cdt))
+            np.testing.assert_array_equal(a, b)
+
+
+def test_plane_apply_middle_forward_equal(rng):
+    """SparseMiddleCov forward with plane_apply on == off (the z-collapse
+    3-tap conv stays on the row path either way)."""
+    import dataclasses
+    import jax
+    from rslo_tpu.config.schema import PipelineCfg
+    from rslo_tpu.models.middle import SparseMiddleCov, build_geometry
+
+    cfg = PipelineCfg().middle
+    cfg = dataclasses.replace(
+        cfg, name="SparseMiddleCov", engine="rulebook",
+        level_capacities=(256, 256, 128, 64), channels=(4, 4, 4, 4),
+        conv_dtype="f32")
+    shape = (25, 16, 16)
+    level, _ = random_level(rng, n_active=160, cap=256, shape=shape)
+    geo = build_geometry(level.coords, level.mask, shape,
+                         cfg.level_capacities)
+    feats = jnp.asarray(rng.normal(size=(256, 4)).astype(np.float32))
+    feats = jnp.where(geo.levels[0].mask[:, None], feats, 0)
+    outs = []
+    for pa in (False, True):
+        mid = SparseMiddleCov(dataclasses.replace(cfg, plane_apply=pa))
+        var = mid.init(jax.random.PRNGKey(0), feats, geo, False)
+        outs.append(mid.apply(var, feats, geo, False))
+    np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                  np.asarray(outs[1][0]))
+    np.testing.assert_array_equal(np.asarray(outs[0][1]),
+                                  np.asarray(outs[1][1]))
