@@ -57,7 +57,7 @@ done
 for i in 1 2; do
   [ -e /tmp/aug_stop ] && break
   step $TRAIN_END /tmp/r5a_leg$i.log python -u scripts/accuracy_proxy.py \
-    train --middle PillarMiddleCov --steps 6500 --remat 0 --tag r5 \
+    train --middle PillarMiddleCov --steps ${R5_STEPS:-5250} --remat 0 --tag r5 \
     --steps_per_eval 1500
   cp -r $RSLO_PROXY_ROOT/model_PillarMiddleCov_r5 .proxy_store/v4/ 2>/dev/null
 done
