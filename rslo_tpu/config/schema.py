@@ -168,6 +168,11 @@ class DataCfg:
     batch_size: int = 1
     num_workers: int = 2
     random_flip_y: bool = True
+    # global-yaw rotation augmentation: rotate each window's clouds by a
+    # single R_z(theta), theta ~ U(-yaw_aug_rad, yaw_aug_rad), and
+    # conjugate all pose targets (augment.random_yaw); 0 disables.
+    # TPU-first extension over the reference's y-flip-only augmentation.
+    yaw_aug_rad: float = 0.0
     # pose-interpolation augmentation strength (the reference's
     # random_aug_ratio, preprocess.py:389-458); 0 disables
     pose_interp_ratio: float = 0.0

@@ -56,6 +56,53 @@ def random_flip_y(sample: dict, rng: np.random.Generator) -> dict:
     return sample
 
 
+def rotate_odometry(odom: np.ndarray, Rz: np.ndarray) -> np.ndarray:
+    """Conjugate one (7,) pose by a global rotation: R' = Rz R Rz^T,
+    t' = Rz t — the same map ``flip_odometry`` applies with F."""
+    R = quat_to_matrix_np(odom[3:])
+    Rn = Rz @ R @ Rz.T
+    q = matrix_to_quat_np(Rn)
+    if q[0] != 0:
+        q = q * np.sign(q[0])
+    return np.concatenate([Rz @ odom[:3], q]).astype(np.float32)
+
+
+def random_yaw(sample: dict, rng: np.random.Generator,
+               max_rad: float) -> dict:
+    """Global-yaw augmentation (TPU-first extension; the reference only
+    y-flips, /root/reference/rslo/data/preprocess.py:335-386).  Rotate
+    every frame's points/normals by a single random R_z(theta) and
+    conjugate all pair odometries + window poses, decorrelating the
+    scene's absolute heading from the rotation targets (the round-4
+    OOD-sustained-turn diagnosis).  Mutates and returns the sample."""
+    if max_rad <= 0:
+        return sample
+    th = float(rng.uniform(-max_rad, max_rad))
+    c, s = np.cos(th), np.sin(th)
+    Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]],
+                  np.float64)
+    for pts in sample["points"]:
+        pts[:, :3] = pts[:, :3] @ Rz.T
+        if pts.shape[1] >= 7:
+            pts[:, 4:7] = pts[:, 4:7] @ Rz.T     # (x,y,z,i,nx,ny,nz)
+        elif pts.shape[1] >= 6:
+            pts[:, 3:6] = pts[:, 3:6] @ Rz.T     # (x,y,z,nx,ny,nz)
+        if pts.shape[1] >= 10:                   # cross-normal gt cols
+            pts[:, 7:10] = pts[:, 7:10] @ Rz.T
+    for hp in sample.get("hier_points", []):
+        hp[:, :3] = hp[:, :3] @ Rz.T
+        hp[:, 3:6] = hp[:, 3:6] @ Rz.T
+    odom = sample["odometry"]
+    for k in range(len(odom)):
+        odom[k] = rotate_odometry(odom[k], Rz)
+    if "pose_seq" in sample:
+        ps = sample["pose_seq"]
+        sample["pose_seq"] = np.stack(
+            [rotate_odometry(ps[i], Rz) for i in range(len(ps))]).astype(
+                np.float32)
+    return sample
+
+
 def _slerp(q0: np.ndarray, q1: np.ndarray, u: float) -> np.ndarray:
     """Spherical interpolation between two wxyz quaternions; ``u`` may
     lie outside [0, 1] (extrapolation, as the reference's negative

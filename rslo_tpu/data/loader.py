@@ -21,7 +21,7 @@ from typing import Iterator
 import numpy as np
 
 from ..config.schema import DataCfg
-from .augment import pose_interp_aug, random_flip_y
+from .augment import pose_interp_aug, random_flip_y, random_yaw
 
 # int16 transfer-quantization scales (shared with prepare.dequantize):
 # channel 0-2 are metric positions (+-128 m at ~3.9 mm resolution —
@@ -187,6 +187,8 @@ class DataLoader:
             s = self.dataset[idx]
         if self.train and self.cfg.random_flip_y:
             s = random_flip_y(s, rng)
+        if self.train and self.cfg.yaw_aug_rad > 0:
+            s = random_yaw(s, rng, self.cfg.yaw_aug_rad)
         if self.train and self.cfg.pose_interp_ratio > 0:
             s = pose_interp_aug(s, rng, self.cfg.pose_interp_ratio)
         return s

@@ -241,6 +241,84 @@ def test_flip_then_pose_interp_consistency(rng):
                                    atol=1e-4)
 
 
+def _rigid_window_sample(rng, L=3, n=256):
+    """Clouds of the same world points X observed from L random poses,
+    with unit normals + intensity, plus consistent pose_seq/odometry."""
+    from rslo_tpu.data.dataset import generate_cyc_vo
+    from rslo_tpu.geometry.transforms import (np_invert_pose,
+                                              quat_to_matrix_np)
+    X = rng.normal(size=(n, 3)).astype(np.float32) * 5
+    poses = np.zeros((L, 7), np.float32)
+    poses[:, 3] = 1.0
+    for i in range(1, L):
+        q = np.asarray(G.qexp(np.float32(rng.normal(size=3) * 0.05)))
+        poses[i] = np.concatenate(
+            [rng.normal(size=3).astype(np.float32) * 0.5, q])
+    pts = []
+    for i in range(L):
+        inv = np_invert_pose(poses[i:i + 1])[0]
+        R = quat_to_matrix_np(inv[3:])
+        local = X @ R.T + inv[:3]
+        nrm = rng.normal(size=(n, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        inten = rng.uniform(0, 1, size=(n, 1)).astype(np.float32)
+        pts.append(np.concatenate([local, inten, nrm],
+                                  axis=1).astype(np.float32))
+    return {"points": pts, "pose_seq": poses.copy(),
+            "odometry": generate_cyc_vo(poses)}
+
+
+def test_random_yaw_consistency(rng):
+    """Global-yaw aug: rotated points + conjugated odometry must stay
+    rigidly consistent (vo'(i,j) ∘ p'_j == p'_i), pose_seq must agree
+    with the pair targets, and normals must stay unit."""
+    from rslo_tpu.data.augment import random_yaw
+    from rslo_tpu.geometry.transforms import np_calc_vo, quat_to_matrix_np
+    L = 3
+    sample = _rigid_window_sample(rng, L=L)
+    before = sample["odometry"].copy()
+    out = random_yaw(sample, rng, max_rad=np.pi)
+    assert not np.allclose(out["odometry"], before, atol=1e-4)
+    offsets = [(i, j) for i in range(L) for j in range(i + 1, L)]
+    for k, (i, j) in enumerate(offsets):
+        vo = out["odometry"][k]
+        R = quat_to_matrix_np(vo[3:])
+        mapped = out["points"][j][:, :3] @ R.T + vo[:3]
+        np.testing.assert_allclose(mapped, out["points"][i][:, :3],
+                                   atol=1e-4)
+        voi = np_calc_vo(out["pose_seq"][i:i + 1],
+                         out["pose_seq"][j:j + 1])[0]
+        np.testing.assert_allclose(voi, vo, atol=1e-4)
+    for p in out["points"]:
+        np.testing.assert_allclose(
+            np.linalg.norm(p[:, 4:7], axis=1), 1.0, atol=1e-5)
+
+
+def test_flip_yaw_interp_chain_consistency(rng):
+    """The full train-time aug chain (flip -> yaw -> interp) must leave
+    points/odometry rigidly consistent — the loader applies all three."""
+    from rslo_tpu.data.augment import (pose_interp_aug, random_flip_y,
+                                       random_yaw)
+    from rslo_tpu.geometry.transforms import quat_to_matrix_np
+    L = 3
+    sample = _rigid_window_sample(rng, L=L)
+
+    class AlwaysFlip:
+        def random(self):
+            return 1.0
+
+    out = random_flip_y(sample, AlwaysFlip())
+    out = random_yaw(out, rng, max_rad=np.pi)
+    out = pose_interp_aug(out, rng, ratio=0.4)
+    offsets = [(i, j) for i in range(L) for j in range(i + 1, L)]
+    for k, (i, j) in enumerate(offsets):
+        vo = out["odometry"][k]
+        R = quat_to_matrix_np(vo[3:])
+        mapped = out["points"][j][:, :3] @ R.T + vo[:3]
+        np.testing.assert_allclose(mapped, out["points"][i][:, :3],
+                                   atol=1e-4)
+
+
 def test_random_skip_sampling(mini_kitti):
     cfg = DataCfg(root=mini_kitti, seq_length=3, skip=2, random_skip=True,
                   train_sequences=(0,), val_sequences=(1,))
