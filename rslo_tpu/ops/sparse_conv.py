@@ -678,8 +678,16 @@ def sparse_conv_apply_planes(features: jax.Array, rulebook: ConvIndex,
     """
     V, K = rulebook.idx.shape
     assert K % 3 == 0, "plane apply needs x-minor (P, 3) tap grouping"
+    assert K == 27, (
+        "plane apply's 4-row-window property is argued/tested only for "
+        "the 27-tap subm/down/inverse rulebooks; the (3,1,1) z-collapse "
+        "rulebook's taps differ in z and are never row-adjacent")
     P = K // 3
     Vin, Cin = features.shape
+    # the PROMISE_IN_BOUNDS (4, Cin) slice below needs >=4 rows to
+    # gather from; the clip at `s` floors at 0 but cannot shrink the
+    # window (ADVICE r4: latent OOB for toy levels)
+    assert Vin >= 4, f"plane apply needs >=4 feature rows, got {Vin}"
     Cout = weights.shape[-1]
     f = features.astype(compute_dtype)
     idx = rulebook.idx.reshape(V, P, 3)

@@ -13,8 +13,9 @@ for s in 0 1 2 3 7; do
 done
 wait
 python -u scripts/accuracy_proxy.py build --h5_only --profile urban \
-  > /tmp/build_v4_h5.log 2>&1
-touch $RSLO_PROXY_ROOT/proxy.h5.done
+  > /tmp/build_v4_h5.log 2>&1 \
+  && touch $RSLO_PROXY_ROOT/proxy.h5.done   # gate on h5 exit (ADVICE r4)
+mkdir -p /root/repo/.proxy_store/v4
 cp $RSLO_PROXY_ROOT/proxy.h5 /root/repo/.proxy_store/v4/ 2>/dev/null
 cp $RSLO_PROXY_ROOT/gt_poses_*.npz /root/repo/.proxy_store/v4/ 2>/dev/null
 echo BUILD_V4_DONE

@@ -55,7 +55,7 @@ done
 # 1. train leg (scratch on v4; checkpoint_interval=250 bounds losses;
 #    a second leg resumes if a tunnel stall killed the first early)
 for i in 1 2; do
-  [ -e /tmp/aug_stop ] && break
+  [ -e /tmp/queue_stop ] && break   # ADVICE r4: one stop sentinel
   step $TRAIN_END /tmp/r5a_leg$i.log python -u scripts/accuracy_proxy.py \
     train --middle PillarMiddleCov --steps ${R5_STEPS:-5250} --remat 0 --tag r5 \
     --steps_per_eval 1500
