@@ -181,13 +181,35 @@ def main():
     only = os.environ.get("RSLO_BENCH_MIDDLE")
     sparse_engine = os.environ.get("RSLO_BENCH_ENGINE",
                                    PipelineCfg().middle.engine)
+    # Cold-round guard (VERDICT r4 weak #5): a wiped remote-compile
+    # cache can push the sparse stage past the driver budget.  The
+    # pillar headline ALWAYS lands; the sparse stage is skipped when
+    # the budget is already spent and never takes the line down with
+    # an exception.
+    budget = float(os.environ.get("RSLO_BENCH_BUDGET", 1500))
+    t_start = time.time()
     rec = {}
+    sparse_skipped = None
     if only in (None, "PillarMiddleCov"):
         # the pillar middle has no sparse engine; pass the default
         rec["pillar"] = bench_middle("PillarMiddleCov",
                                      PipelineCfg().middle.engine)
     if only in (None, "SparseMiddleCov"):
-        rec["sparse"] = bench_middle("SparseMiddleCov", sparse_engine)
+        elapsed = time.time() - t_start
+        if "pillar" in rec and elapsed > budget:
+            sparse_skipped = (f"budget: {elapsed:.0f}s elapsed > "
+                              f"{budget:.0f}s (cold compile round)")
+        else:
+            try:
+                rec["sparse"] = bench_middle("SparseMiddleCov",
+                                             sparse_engine)
+            except Exception as e:       # keep the headline alive
+                if "pillar" not in rec:
+                    raise
+                sparse_skipped = f"{type(e).__name__}: {e}"
+        if sparse_skipped:
+            print(f"# sparse stage skipped: {sparse_skipped}",
+                  file=sys.stderr, flush=True)
 
     headline = "pillar" if "pillar" in rec else "sparse"
     fps = rec[headline]
@@ -202,6 +224,8 @@ def main():
     if "sparse" in rec and headline == "pillar":
         line["sparse_fps"] = round(rec["sparse"], 3)
         line["sparse_engine"] = sparse_engine
+    elif sparse_skipped:
+        line["sparse_skipped"] = sparse_skipped
     if os.environ.get("RSLO_BENCH_STREAMING"):
         if only in (None, "PillarMiddleCov"):
             line["streaming_fps"] = round(

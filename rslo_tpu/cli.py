@@ -284,11 +284,13 @@ def cmd_evaluate(args):
             loop_min_separation=args.loop_min_separation,
             loop_score_threshold=args.loop_score_threshold,
             eval_step_cov=(trainer.eval_fn(with_cov=True)
-                           if args.refine_ba else None))
+                           if args.refine_ba else None),
+            plot_dir=str(Path(args.model_dir) / "plots"))
     else:
         results = run_eval(trainer.net, variables, dataset, cfg, mesh,
                            trainer.eval_fn(), trainer.logger,
-                           max_windows=args.max_windows)
+                           max_windows=args.max_windows,
+                           plot_dir=str(Path(args.model_dir) / "plots"))
     print(json.dumps(results, indent=2, default=str))
     out = Path(args.model_dir) / "eval_results.json"
     out.write_text(json.dumps(results, indent=1, default=str))

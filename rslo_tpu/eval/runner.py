@@ -155,7 +155,8 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
                      loop_min_separation: int = 50,
                      loop_score_threshold: float = 0.8,
                      loop_points: int = 4096,
-                     eval_step_cov=None) -> Dict[str, dict]:
+                     eval_step_cov=None,
+                     plot_dir: str | None = None) -> Dict[str, dict]:
     """Multi-frame-window eval + pose-graph refinement (driver config #4:
     the refine=True path).  Needs an eval split with seq_length >= 3 so
     windows contribute redundant (i, i+2) edges.
@@ -305,6 +306,7 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
             "refined": evaluate_sequence(refined, gt_abs),
             "chained": evaluate_sequence(chain_abs, gt_abs),
         }
+        variants = {"chained": chain_abs, "refined": refined}
         if use_loops:
             from ..geometry import np_compose_pose, np_invert_pose
             from ..pgo.loop_closure import close_loops
@@ -341,12 +343,19 @@ def run_eval_refined(net, variables, dataset, cfg: PipelineCfg, mesh,
                 entry["loop_closed"] = evaluate_sequence(lc_abs, gt_abs)
                 entry["n_loops"] = int(len(cands.pairs))
                 entry["loop_keyframes"] = len(have)
+                variants["loop_closed"] = lc_abs
             else:
                 entry["n_loops"] = -1   # no clouds kept: skipped
                 if logger is not None:
                     logger.log_text(
                         f"seq {int(s):02d}: loop closing skipped "
                         f"({len(have)} keyframe clouds)")
+        if plot_dir is not None:
+            from .trajectory import draw_trajectories
+            draw_trajectories(variants, gt_abs,
+                              title=f"seq {int(s):02d} (refined eval)",
+                              save_path=f"{plot_dir}/traj_refined_"
+                                        f"{int(s):02d}.png")
         results[f"seq_{int(s):02d}"] = entry
     if logger is not None:
         logger.log_text(f"refined eval: {n} windows in {elapsed:.1f}s")
