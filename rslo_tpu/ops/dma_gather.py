@@ -73,7 +73,7 @@ def dma_row_gather(features: jax.Array, idx: jax.Array, *,
         in_specs=[
             pl.BlockSpec((block,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((block, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -146,7 +146,7 @@ def dma_gather_matmul(features: jax.Array, idx: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((block, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, Cout), lambda i: (i, 0),
