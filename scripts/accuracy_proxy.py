@@ -197,6 +197,10 @@ def cmd_eval(args):
     if args.refine_loops:
         argv.append("--refine_loops")
         argv += ["--loop_min_separation", "40"]
+    if getattr(args, "refine_ba", False):
+        argv.append("--refine_ba")
+    if getattr(args, "max_windows", None):
+        argv += ["--max_windows", str(args.max_windows)]
     main(argv)
     # cmd_evaluate writes eval_results.json into the model dir
     res = json.loads((Path(mdir) / "eval_results.json").read_text())
@@ -209,6 +213,10 @@ def cmd_eval(args):
         tag += "_refine"
     if args.refine_loops:
         tag += "_loops"
+    if getattr(args, "refine_ba", False):
+        tag += "_ba"
+    if getattr(args, "max_windows", None):
+        tag += f"_w{args.max_windows}"
     out = ROOT / f"result_{tag}.json"
     out.write_text(json.dumps(res, indent=1))
     print("saved", out, flush=True)
@@ -289,6 +297,12 @@ def main():
     e.add_argument("--supervised", action="store_true")
     e.add_argument("--refine", action="store_true")
     e.add_argument("--refine_loops", action="store_true")
+    e.add_argument("--refine_ba", action="store_true",
+                   help="geometric BA per window (pgo/ba_bridge); run "
+                        "as its OWN eval — BA-refined pair motions "
+                        "replace preds, so rows from a BA run are all "
+                        "BA-influenced")
+    e.add_argument("--max_windows", type=int, default=None)
     e.add_argument("--engine", default=None,
                    help="middle engine override (rulebook|band|tiles)")
     e.add_argument("--ckpt_step", default=None,
