@@ -30,15 +30,21 @@ def timeit_chain(name, f, x, n):
             return acc + jnp.sum(out[:8].astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    g = jax.jit(run)
-    t0 = time.perf_counter()
-    np.asarray(g(x))
-    c = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(g(x))
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name}: {dt * 1e3:.2f} ms  (compile {c:.1f}s)", flush=True)
-    return dt
+    try:
+        g = jax.jit(run)
+        t0 = time.perf_counter()
+        np.asarray(g(x))
+        c = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(g(x))
+        dt = (time.perf_counter() - t0) / n
+        print(f"{name}: {dt * 1e3:.2f} ms  (compile {c:.1f}s)",
+              flush=True)
+        return dt
+    except Exception as e:     # a failing variant must not kill the A/B
+        print(f"{name}: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:200]}", flush=True)
+        return float("inf")
 
 
 def main():
