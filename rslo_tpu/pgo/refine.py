@@ -115,6 +115,14 @@ def calibrate_pair_info(pair_edges: np.ndarray, pair_motions: np.ndarray,
     # (var_1 = closure_var / 4).  var_k is floored at
     # floor * closure_var either way.
     dup_r, dup_t = dup_var if dup_var is not None else (None, None)
+    # Degenerate duplicates: when the network's pair prediction depends
+    # only on the two frames, the same pair predicted from two
+    # overlapping windows is bit-identical and the duplicate
+    # disagreement is ~0 — NOT evidence of zero 1-step noise (measured
+    # r5: refined == chained to 1e-3 because every multi-step edge got
+    # ~zero weight).  Treat near-zero duplicate stats as unavailable.
+    if dup_r is not None and (dup_r < 1e-10 or dup_t < 1e-10):
+        dup_r = dup_t = None
     var_r = {1: dup_r}
     var_t = {1: dup_t}
     for s in sorted(closures_r):
@@ -123,15 +131,25 @@ def calibrate_pair_info(pair_edges: np.ndarray, pair_motions: np.ndarray,
         if cr is None:
             continue
         if dup_r is None:
-            v1r = cr / 4.0
+            # No independent var_1 probe.  Asymmetric split backed by
+            # the r4/r5a eval evidence: multi-step ROTATION
+            # measurements are the ones that degrade fusion (uniform
+            # info: refined r_rel 114 vs chained 96), while multi-step
+            # translations help (refined t_rel 45 vs 58) — so
+            # attribute the rotation closure variance mostly to the
+            # long edge (var_1r = c/8) and split translation
+            # conservatively (var_1t = c/4, var_kt = c/2).
+            v1r = cr / 8.0
             v1t = ct / 4.0
             if var_r[1] is None or v1r < var_r[1]:
                 var_r[1] = v1r
                 var_t[1] = v1t
+            var_r[s] = max(cr - 2.0 * v1r, floor * cr)
+            var_t[s] = max(ct - 2.0 * v1t, floor * ct)
         else:
             v1r, v1t = dup_r, dup_t
-        var_r[s] = max(cr - 2.0 * v1r, floor * cr)
-        var_t[s] = max(ct - 2.0 * v1t, floor * ct)
+            var_r[s] = max(cr - 2.0 * v1r, floor * cr)
+            var_t[s] = max(ct - 2.0 * v1t, floor * ct)
     if var_r.get(1) is None:      # no triples: uniform fallback
         info = np.einsum('e,ab->eab', w, np.eye(6)).astype(np.float32)
         return info

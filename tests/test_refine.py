@@ -88,6 +88,49 @@ def _mean_yaw_err_deg(refined, gt_abs):
     return float(np.mean(errs))
 
 
+def test_calibration_degenerate_duplicates_fallback(rng):
+    """Deterministic pair predictions make duplicate observations
+    bit-identical (dup variance 0) — the calibration must reject that
+    'evidence' and fall back to the asymmetric closure split instead
+    of zeroing every multi-step edge (r5 eval: refined == chained)."""
+    gt_abs = make_trajectory(60)
+    offsets = [(0, 1), (0, 2), (1, 2)]
+    starts = list(range(0, len(gt_abs) - 2))
+    # per-PAIR noise keyed by the frame pair -> duplicates identical
+    pair_noise = {}
+    preds = []
+    for s in starts:
+        rowm = []
+        for (i, j) in offsets:
+            key = (s + i, s + j)
+            if key not in pair_noise:
+                m = G.np_calc_vo(gt_abs[key[0]:key[0] + 1],
+                                 gt_abs[key[1]:key[1] + 1])[0].astype(
+                                     np.float32)
+                m[:3] += rng.normal(0, 0.03, 3)
+                q_noise = np.asarray(G.qexp(jnp.asarray(
+                    rng.normal(0, 0.01, 3))), np.float32)
+                m[3:] = np.asarray(G.qmult(jnp.asarray(m[3:]),
+                                           jnp.asarray(q_noise)))
+                pair_noise[key] = m
+            rowm.append(pair_noise[key].copy())
+        preds.append(np.stack(rowm))
+    preds = np.stack(preds)
+    from rslo_tpu.pgo.refine import duplicate_pair_variance
+    dup = duplicate_pair_variance(starts, offsets, preds)
+    assert dup[0] is not None and dup[0] < 1e-10   # degenerate
+    E, M, W = window_pairs_to_edges(starts, offsets, preds)
+    info = calibrate_pair_info(E, M, W, dup_var=dup)
+    span = E[:, 1] - E[:, 0]
+    # multi-step edges keep REAL (nonzero) weight under the fallback
+    t2 = np.median(info[span == 2, 0, 0] / W[span == 2])
+    t1 = np.median(info[span == 1, 0, 0] / W[span == 1])
+    r2 = np.median(info[span == 2, 3, 3] / W[span == 2])
+    r1 = np.median(info[span == 1, 3, 3] / W[span == 1])
+    assert t2 > 0.2 * t1, (t1, t2)
+    assert 0.05 * r1 < r2 < 0.5 * r1, (r1, r2)
+
+
 def test_calibrated_info_downweights_noisy_long_edges(rng):
     """VERDICT r4 weak #3 regression: when 2-step edges carry much
     noisier rotation, cycle-closure calibration must (a) assign them
