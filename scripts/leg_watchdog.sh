@@ -10,8 +10,12 @@ while true; do
   [ -z "$log" ] && continue
   age=$(( $(date +%s) - $(stat -c %Y "$log") ))
   if [ "$age" -gt "$STALL_SECS" ]; then
-    # exact-PID kill: the single python train process under the queue
+    # exact-PID kill: the single QUEUE train process (--leg_until is
+    # passed only by queue legs — r5 incident: the watchdog killed a
+    # manually-launched fine-tune twice because the stale-log check
+    # matched the finished queue's logs while ANY train process ran)
     pid=$(ps -eo pid,args | grep "python -u scripts/accuracy_proxy.py train" \
+          | grep -- "--leg_until" \
           | grep -v grep | grep -v timeout | awk '{print $1}' | head -1)
     if [ -n "$pid" ]; then
       echo "$(date +%H:%M:%S) watchdog: $log stale ${age}s — kill $pid" \
