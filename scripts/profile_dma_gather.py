@@ -9,6 +9,7 @@ input per iterate, one device-side reduction, ONE host fetch.
 
 Usage: python -u scripts/profile_dma_gather.py [reps]
 """
+import os
 import sys
 import time
 from pathlib import Path
@@ -54,7 +55,9 @@ def main():
     Cout = 32
     N = V * K   # 1,105,920 row fetches
 
-    for C in (16, 32, 64):
+    cs = tuple(int(c) for c in os.environ.get(
+        "RSLO_DMA_CS", "16,32,64").split(","))
+    for C in cs:
         feats = jnp.asarray(rng.normal(size=(V, C)).astype(np.float32))
         featsb = feats.astype(jnp.bfloat16)
         idx = jnp.asarray(rng.integers(0, V, size=(V, K)).astype(np.int32))
