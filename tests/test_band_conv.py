@@ -6,6 +6,7 @@ SparseMiddleCov under engine="band" must match engine="rulebook" to
 bf16 rounding.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -75,6 +76,7 @@ def test_band_overflow_path_exact():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_band_engine_matches_rulebook_middle():
     rng = np.random.default_rng(2)
     nz, ny, nx = 41, 64, 64
@@ -126,6 +128,7 @@ def test_band_gradients_finite():
     assert np.isfinite(np.asarray(gf)).all()
 
 
+@pytest.mark.slow
 def test_band_engine_through_net():
     """OdomNet with middle.engine="band" must agree with the rulebook
     engine through the full forward (same params)."""
@@ -362,6 +365,7 @@ def test_band_overflow_within_capacity_deployed_shapes():
             f"window widths no longer cover the deployed geometry")
 
 
+@pytest.mark.slow
 def test_band_engine_train_step_finite():
     """One full self-supervised train step with middle.engine='band'
     (the matched-budget sparse training config) must produce finite

@@ -1,5 +1,6 @@
 """Checkpoint manager: save / latest / restore round-trip + pruning."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import optax
 
@@ -100,6 +101,7 @@ def test_best_checkpoint_nan_proof(tmp_path):
     assert rec["step"] == 700 and rec["metric"] == 90.0
 
 
+@pytest.mark.slow
 def test_periodic_checkpoint_interval(tmp_path):
     """train.checkpoint_interval bounds the loss from a timeout-killed
     leg: saves must land every N steps even when steps_per_eval (and

@@ -1,6 +1,7 @@
 """Loss-behavior unit tests (SURVEY.md §4 strategy: identity transform =>
 near-zero consistency; adaptive loss reduces to exp(-a)l + a)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +78,7 @@ def test_roi_gate_excludes_far_points():
     assert roi2.all()
 
 
+@pytest.mark.slow
 def test_consistency_identity_small(rng):
     """Same cloud, identity transform: ICP correction ~ identity, data
     term ~ 0 (Mahalanobis of zero residuals)."""

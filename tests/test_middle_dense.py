@@ -66,6 +66,7 @@ def test_dense_conv_transpose_shapes(rng):
     assert np.all(np.isfinite(np.asarray(y, np.float32)))
 
 
+@pytest.mark.slow
 def test_dense_middle_cov_forward_and_grads(rng):
     cfg = MiddleCfg(channels=(4, 4, 8, 8))
     shape = (9, 32, 32)   # nz(+1), ny, nx — z ladder 8->... use 41-style

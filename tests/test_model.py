@@ -102,6 +102,7 @@ def test_objective_supervised(model_and_state):
     assert float(out.aux["pyramid_loss"]) != 0.0
 
 
+@pytest.mark.slow
 def test_objective_self_supervised_and_grads(model_and_state):
     cfg, net, variables, example = model_and_state
     params = variables["params"]

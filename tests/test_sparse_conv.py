@@ -1,5 +1,6 @@
 """Sparse conv engine vs dense numpy oracles on tiny grids."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rslo_tpu.ops import sparse_conv as sc
@@ -213,6 +214,7 @@ def test_ranked_lookup_stray_fallback(rng):
     np.testing.assert_array_equal(np.asarray(ia)[m], np.asarray(ib)[m])
 
 
+@pytest.mark.slow
 def test_geometry_ranked_matches_slot_map(rng):
     """Full build_geometry with lookup='ranked' reproduces every
     rulebook of the slot-map build bit-exactly."""
@@ -377,6 +379,7 @@ def test_planes_row_wrap_no_false_positive():
                                       np.asarray(b.idx)[va], err_msg=rm)
 
 
+@pytest.mark.slow
 def test_geometry_planes_matches_slot_map(rng):
     """Full build_geometry with the plane-derived lookups reproduces the
     slot-map build bit-exactly (all rulebooks, all levels)."""

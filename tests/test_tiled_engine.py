@@ -56,6 +56,7 @@ def _run_both(bn_type: str, train: bool, seed=0):
     return map(np.asarray, (bev_a, cov_a, bev_b, cov_b))
 
 
+@pytest.mark.slow
 def test_tiled_matches_rulebook_eval():
     bev_a, cov_a, bev_b, cov_b = _run_both("none", train=False)
     assert bev_a.shape == bev_b.shape
@@ -71,6 +72,7 @@ def test_tiled_matches_rulebook_train_bn():
     np.testing.assert_allclose(cov_b, cov_a, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_tiled_gradients_finite():
     rng = np.random.default_rng(1)
     coords, mask, feats = _random_frame(rng, n=800, pad=100)
