@@ -8,11 +8,17 @@ rejects in-kernel vector gathers (`jnp.take` fails to lower), so the
 remaining formulation is an explicit per-row DMA pipeline: each grid
 block reads its slice of `idx` from SMEM, issues one async HBM->VMEM
 copy per row with a ring of in-flight DMAs, and lets the grid overlap
-blocks.  This is the honest test of whether the gather bound is XLA's
+blocks.  This was the honest test of whether the gather bound is XLA's
 lowering or the hardware's per-transaction latency (VERDICT r4 next
-#4a): if a deep DMA pipeline cannot beat the XLA gather, the
-~145 ms/frame rulebook engine is latency-bound at the hardware level
-and the question closes with a roofline note instead.
+#4a).  MEASURED (r5, v5e, BENCH_NOTES "per-row-DMA gather measured"):
+(a) this Mosaic toolchain crashes on >1 dynamic-index row DMA with
+rows narrower than 128 lanes (minimal repro in BENCH_NOTES), so the
+engine's real C=16..64 widths cannot compile; (b) at C=128 where it
+does compile, the pipeline is descriptor-rate-bound at ~26 ns/row —
+2.7x SLOWER than XLA's gather (19.4 vs 51.5 GB/s), insensitive to
+block/inflight depth.  XLA's one-big-row-gather IS the fast path for
+random row access on this hardware; these kernels remain as the
+evidence and for retesting on future toolchains.
 
 Reference analog: spconv's gather/scatter CUDA kernels
 (/root/reference/thirdparty/spconv — external .cu, see SURVEY.md §2.8).
